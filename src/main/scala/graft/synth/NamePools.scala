@@ -1,0 +1,78 @@
+package graft.synth
+
+/** Shared, deterministic name pools used by BOTH the Spark-side synthetic
+  * transcript generator and the DuckDB oracle SQL builder. Keeping a single
+  * source of truth guarantees the two engines generate byte-identical corpora.
+  *
+  * The variation phenomena mirror the reference corpus characteristics
+  * (abbreviation-to-initial, nickname substitution, phonetically-equivalent
+  * misspelling, token reorder, suffix noise) described in
+  * /root/reference README.md and exercised by
+  * matching/src/main/java/logic/matching/MatchResult.java:157-214.
+  */
+object NamePools {
+
+  /** 40 first names; index = c_custkey % 40. */
+  val first: Vector[String] = Vector(
+    "james", "john", "robert", "michael", "william", "david", "richard",
+    "joseph", "thomas", "charles", "christopher", "daniel", "matthew",
+    "anthony", "mark", "donald", "steven", "paul", "andrew", "joshua",
+    "mary", "patricia", "jennifer", "linda", "elizabeth", "barbara",
+    "susan", "jessica", "sarah", "karen", "nancy", "lisa", "betty",
+    "margaret", "sandra", "ashley", "kimberly", "emily", "donna",
+    "michelle")
+
+  /** Nickname aligned to `first` by index (self when no common nickname). */
+  val nickOfFirst: Vector[String] = Vector(
+    "jim", "jack", "bob", "mike", "bill", "dave", "dick",
+    "joe", "tom", "chuck", "chris", "dan", "matt",
+    "tony", "mark", "don", "steve", "paul", "andy", "josh",
+    "mary", "pat", "jen", "linda", "liz", "barb",
+    "sue", "jess", "sally", "karen", "nan", "lisa", "betty",
+    "peggy", "sandy", "ash", "kim", "em", "donna",
+    "shelly")
+
+  /** 20 middle names; index = (c_custkey div 3) % 20. */
+  val middle: Vector[String] = Vector(
+    "lee", "ann", "marie", "lynn", "ray", "jay", "dean", "grace",
+    "rose", "jane", "kay", "beth", "claire", "june", "hope", "faith",
+    "blake", "reed", "quinn", "sage")
+
+  /** 60 last names; index = (c_custkey div 7) % 60. */
+  val last: Vector[String] = Vector(
+    "smith", "johnson", "williams", "brown", "jones", "garcia", "miller",
+    "davis", "rodriguez", "martinez", "hernandez", "lopez", "gonzalez",
+    "wilson", "anderson", "taylor", "moore", "jackson", "martin",
+    "thompson", "white", "harris", "sanchez", "clark", "ramirez", "lewis",
+    "robinson", "walker", "young", "allen", "king", "wright", "scott",
+    "torres", "nguyen", "hill", "flores", "green", "adams", "nelson",
+    "baker", "hall", "rivera", "campbell", "mitchell", "carter",
+    "roberts", "gomez", "phillips", "evans", "turner", "diaz", "parker",
+    "cruz", "edwards", "collins", "reyes", "stewart", "morris", "morales")
+
+  /** Same-Soundex misspelling aligned to `last` by index (self when none).
+    * A unit test asserts soundex equality pair-by-pair. */
+  val misspellOfLast: Vector[String] = Vector(
+    "smyth", "jonson", "willyams", "braun", "joans", "garsia", "muller",
+    "davies", "rodrigues", "martines", "hernandes", "lopes", "gonzales",
+    "willson", "andersen", "tailor", "mohr", "jaxon", "marten",
+    "tompson", "white", "harris", "sanchez", "clark", "ramirez", "lewis",
+    "robinson", "walker", "young", "allen", "king", "wright", "scott",
+    "torres", "nguyen", "hill", "flores", "green", "adams", "nelson",
+    "baker", "hall", "rivera", "campbell", "mitchell", "carter",
+    "roberts", "gomez", "phillips", "evans", "turner", "diaz", "parker",
+    "cruz", "edwards", "collins", "reyes", "stewart", "morris", "morales")
+
+  /** token -> canonical nickname-group id (level-2 NCK element, analogue of
+    * the reference's NICKNAME vertices, dao/vertex/V.java:25). Both the
+    * formal name and its nickname map to the formal name's group. */
+  val nicknameGroup: Map[String, String] = {
+    val pairs = first.zip(nickOfFirst)
+    (pairs.map { case (f, _) => f -> f } ++
+      pairs.collect { case (f, n) if n != f => n -> f }).toMap
+  }
+
+  /** Render a pool as a DuckDB list literal, e.g. ['james', 'john', ...]. */
+  def sqlList(pool: Vector[String]): String =
+    pool.mkString("['", "', '", "']")
+}

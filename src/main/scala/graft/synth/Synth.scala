@@ -1,0 +1,171 @@
+package graft.synth
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic transcript corpus (the graft's input table).
+  *
+  * Shape follows BASELINE.json input_hint exactly:
+  * (conv_id string, turn_idx int, role string, text string, tool string,
+  * ts timestamp).
+  *
+  * Derivation is pure integer arithmetic over `customer.c_custkey` from the
+  * driver-provided testdata at the chosen scale factor, so the corpus size
+  * scales with sf and the SAME corpus is reproducible inside DuckDB by
+  * [[transcriptsCte]] — giving every downstream pipeline stage a real SQL
+  * oracle.
+  *
+  * Each entity (one per customer key) gets 2–4 mention conversations. Each
+  * conversation has 4 turns; the entity's name surface is planted in turns
+  * 0, 1, 3 between `[[` `]]` markers (canonicalization extracts them, see
+  * graft.pipeline.Canonicalize). Variation classes mirror the reference's
+  * name phenomena (abbreviation, nickname, phonetic misspelling, reorder,
+  * suffix — /root/reference/matching/.../MatchResult.java:157-214).
+  */
+object Synth {
+  import NamePools._
+
+  /** Number of variation classes for non-canonical mentions. */
+  private val nVariations = 8
+
+  /** Spark-side generator. Reads only customer.c_custkey from sfDir. */
+  def transcripts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fArr = array(first.map(lit): _*)
+    val nArr = array(nickOfFirst.map(lit): _*)
+    val mArr = array(middle.map(lit): _*)
+    val lArr = array(last.map(lit): _*)
+    val pArr = array(misspellOfLast.map(lit): _*)
+
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select($"c_custkey".as("k"))
+      .withColumn("f", element_at(fArr, ($"k" % 40).cast("int") + 1))
+      .withColumn("nick", element_at(nArr, ($"k" % 40).cast("int") + 1))
+      .withColumn("mid", element_at(mArr, expr("cast(k div 3 as int) % 20") + 1))
+      .withColumn("l", element_at(lArr, expr("cast(k div 7 as int) % 60") + 1))
+      .withColumn("missp", element_at(pArr, expr("cast(k div 7 as int) % 60") + 1))
+      .withColumn("m", explode(sequence(lit(0), (lit(1) + $"k" % 3).cast("int"))))
+      .withColumn("v", when($"m" === 0, lit(-1L)).otherwise(($"k" + $"m" * 3) % nVariations))
+      .withColumn("surface",
+        when($"v" === -1, concat_ws(" ", $"f", $"mid", $"l"))
+          .when($"v" === 0, concat_ws(" ", $"f", $"l"))
+          .when($"v" === 1, concat(substring($"f", 1, 1), lit(". "), $"mid", lit(" "), $"l"))
+          .when($"v" === 2, concat($"f", lit(" "), substring($"mid", 1, 1), lit(". "), $"l"))
+          .when($"v" === 3, concat(substring($"f", 1, 1), lit(" "), substring($"mid", 1, 1), lit(" "), $"l"))
+          .when($"v" === 4, concat_ws(" ", $"nick", $"l"))
+          .when($"v" === 5, concat_ws(" ", $"f", $"missp"))
+          .when($"v" === 6, concat_ws(" ", $"l", $"f"))
+          .otherwise(concat_ws(" ", $"f", $"mid", $"l", lit("jr"))))
+      .withColumn("conv_seq", $"k" * 4 + $"m")
+      .withColumn("conv_id", concat(lit("c"), lpad($"conv_seq".cast("string"), 8, "0")))
+      .withColumn("turn_idx", explode(sequence(lit(0), lit(3))))
+      .withColumn("role",
+        when($"turn_idx" === 0, "user")
+          .when($"turn_idx" === 2, "tool")
+          .otherwise("assistant"))
+      .withColumn("text",
+        when($"turn_idx" === 0,
+          concat(lit("hi, can you pull the record for [["), $"surface", lit("]] from the directory?")))
+          .when($"turn_idx" === 1,
+            concat(lit("searching the directory for [["), $"surface", lit("]] now.")))
+          .when($"turn_idx" === 2,
+            concat(lit("found "), (lit(1) + ($"k" + $"m") % 9).cast("string"), lit(" rows matching the query.")))
+          .otherwise(
+            concat(lit("done. the best match for [["), $"surface", lit("]] has been saved."))))
+      .withColumn("tool", when($"turn_idx" === 2, "search").otherwise(lit(null).cast("string")))
+      .withColumn("ts", expr(
+        "timestampadd(MINUTE, cast(conv_seq * 4 + turn_idx as int), timestamp'2025-01-01 00:00:00')"))
+      .select($"conv_id", $"turn_idx".cast("int").as("turn_idx"), $"role", $"text", $"tool", $"ts")
+  }
+
+  /** Gold labels (generator-side truth, analogue of RESOLVED_ID vertices /
+    * RID_REF edge weights — dao/vertex/V.java:20, dao/edge/E.java:11).
+    * One row per (surface name, entity): cnt = planted occurrences. */
+  def goldMentions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    transcriptMentionEvents(spark, sfDir)
+      .groupBy($"surface".as("name"), $"entity_id")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Internal: one row per planted mention occurrence (3 per conversation). */
+  private def transcriptMentionEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = transcripts(spark, sfDir)
+    t.filter($"turn_idx".isin(0, 1, 3))
+      .withColumn("surface", regexp_extract($"text", "\\[\\[([a-z. ]+)\\]\\]", 1))
+      .withColumn("k", expr("cast(substring(conv_id, 2, 8) as bigint) div 4"))
+      .withColumn("entity_id", concat(lit("e"), $"k"))
+      .select($"conv_id", $"turn_idx", $"surface", $"entity_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle mirror
+  // ---------------------------------------------------------------------
+
+  /** DuckDB CTE body producing EXACTLY the rows of [[transcripts]] (table
+    * name `transcripts`). Relies on the driver registering `customer` as a
+    * view over the same sfDir parquet. */
+  val transcriptsCte: String = {
+    val fL = sqlList(first); val nL = sqlList(nickOfFirst)
+    val mL = sqlList(middle); val lL = sqlList(last); val pL = sqlList(misspellOfLast)
+    s"""ent AS (
+       |  SELECT c_custkey AS k,
+       |         ($fL)[(c_custkey % 40)::INT + 1] AS f,
+       |         ($nL)[(c_custkey % 40)::INT + 1] AS nick,
+       |         ($mL)[((c_custkey // 3) % 20)::INT + 1] AS mid,
+       |         ($lL)[((c_custkey // 7) % 60)::INT + 1] AS l,
+       |         ($pL)[((c_custkey // 7) % 60)::INT + 1] AS missp
+       |  FROM customer
+       |),
+       |mention_rows AS (
+       |  SELECT ent.*, gs.m,
+       |         CASE WHEN gs.m = 0 THEN -1 ELSE (k + 3 * gs.m) % $nVariations END AS v
+       |  FROM ent, LATERAL (SELECT unnest(generate_series(0, 1 + (ent.k % 3)::INT)) AS m) gs
+       |),
+       |surfaces AS (
+       |  SELECT *,
+       |         CASE v
+       |           WHEN -1 THEN f || ' ' || mid || ' ' || l
+       |           WHEN 0 THEN f || ' ' || l
+       |           WHEN 1 THEN substr(f, 1, 1) || '. ' || mid || ' ' || l
+       |           WHEN 2 THEN f || ' ' || substr(mid, 1, 1) || '. ' || l
+       |           WHEN 3 THEN substr(f, 1, 1) || ' ' || substr(mid, 1, 1) || ' ' || l
+       |           WHEN 4 THEN nick || ' ' || l
+       |           WHEN 5 THEN f || ' ' || missp
+       |           WHEN 6 THEN l || ' ' || f
+       |           ELSE f || ' ' || mid || ' ' || l || ' jr'
+       |         END AS surface,
+       |         k * 4 + m AS conv_seq
+       |  FROM mention_rows
+       |),
+       |transcripts AS (
+       |  SELECT 'c' || lpad(conv_seq::VARCHAR, 8, '0') AS conv_id,
+       |         t.turn_idx::INT AS turn_idx,
+       |         CASE t.turn_idx WHEN 0 THEN 'user' WHEN 2 THEN 'tool' ELSE 'assistant' END AS role,
+       |         CASE t.turn_idx
+       |           WHEN 0 THEN 'hi, can you pull the record for [[' || surface || ']] from the directory?'
+       |           WHEN 1 THEN 'searching the directory for [[' || surface || ']] now.'
+       |           WHEN 2 THEN 'found ' || (1 + (k + m) % 9)::VARCHAR || ' rows matching the query.'
+       |           ELSE 'done. the best match for [[' || surface || ']] has been saved.'
+       |         END AS text,
+       |         CASE WHEN t.turn_idx = 2 THEN 'search' ELSE NULL END AS tool,
+       |         TIMESTAMP '2025-01-01 00:00:00' + INTERVAL (conv_seq * 4 + t.turn_idx) MINUTE AS ts
+       |  FROM surfaces, LATERAL (SELECT unnest(generate_series(0, 3)) AS turn_idx) t
+       |)""".stripMargin
+  }
+
+  /** DuckDB CTE body for gold mention labels (table name `gold_mentions`);
+    * append after [[transcriptsCte]]. */
+  val goldMentionsCte: String =
+    """gold_events AS (
+      |  SELECT conv_id, turn_idx,
+      |         regexp_extract(text, '\[\[([a-z. ]+)\]\]', 1) AS surface,
+      |         'e' || (substr(conv_id, 2, 8)::BIGINT // 4)::VARCHAR AS entity_id
+      |  FROM transcripts WHERE turn_idx IN (0, 1, 3)
+      |),
+      |gold_mentions AS (
+      |  SELECT surface AS name, entity_id, count(*) AS cnt
+      |  FROM gold_events GROUP BY 1, 2
+      |)""".stripMargin
+}
