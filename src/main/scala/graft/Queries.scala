@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.synth.Synth
+import graft.pipeline._
 
 /** Registry backing SparkEntry: name -> (query fn, optional DuckDB oracle).
   *
@@ -14,21 +15,38 @@ object Queries {
 
   type QueryFn = (SparkSession, String) => DataFrame
 
-  /** Prefix a DuckDB query with the shared corpus CTEs. */
-  private def withCorpus(body: String, extraCtes: Seq[String] = Nil): String = {
-    val ctes = (Synth.transcriptsCte +: extraCtes).mkString(",\n")
-    s"WITH $ctes\n$body"
-  }
+  // Shared stage accessors (each query re-derives its chain lazily;
+  // Catalyst fuses the common prefix, and Verify runs are one-shot).
+  private def transcripts(s: SparkSession, dir: String) = Synth.transcripts(s, dir)
+  private def mentions(s: SparkSession, dir: String) =
+    Canonicalize.mentions(transcripts(s, dir))
+  private def tokens(s: SparkSession, dir: String) =
+    Tokenize.tokens(mentions(s, dir))
+  private def candidates(s: SparkSession, dir: String) =
+    Blocking.candidates(tokens(s, dir))
+  private def ccAssignments(s: SparkSession, dir: String) =
+    ConnectedComponents.assignments(mentions(s, dir), candidates(s, dir))
+
+  /** Assemble a DuckDB query from the shared CTE chain. */
+  private def withCtes(body: String, ctes: String*): String =
+    s"WITH ${(Synth.transcriptsCte +: ctes).mkString(",\n")}\n$body"
+
+  private val pipelineCtes: Seq[String] =
+    Seq(Canonicalize.ctes, Tokenize.ctes, Blocking.ctes)
+  private val ccCtes: Seq[String] =
+    pipelineCtes :+ ConnectedComponents.ctes
+  private val evalCtes: Seq[String] =
+    ccCtes ++ Seq(Synth.goldMentionsCte, Evaluation.ctes)
 
   val registry: Map[String, (QueryFn, Option[String])] = Map(
 
     // S-1/input (SURVEY.md §2.1): the synthesized transcripts corpus itself.
     "q_transcripts" -> (
-      ((spark: SparkSession, sfDir: String) =>
-        Synth.transcripts(spark, sfDir)
+      ((s: SparkSession, dir: String) =>
+        transcripts(s, dir)
           .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
             col("tool"), unix_timestamp(col("ts")).as("ts_epoch"))),
-      Some(withCorpus(
+      Some(withCtes(
         """SELECT conv_id, turn_idx, role, text, tool,
           |       epoch(ts)::BIGINT AS ts_epoch
           |FROM transcripts""".stripMargin))
@@ -36,10 +54,78 @@ object Queries {
 
     // Gold labels (RID_REF analogue) — evaluation input.
     "q_gold_mentions" -> (
-      ((spark: SparkSession, sfDir: String) => Synth.goldMentions(spark, sfDir)),
-      Some(withCorpus(
+      ((s: SparkSession, dir: String) => Synth.goldMentions(s, dir)),
+      Some(withCtes(
         "SELECT name, entity_id, cnt FROM gold_mentions",
-        Seq(Synth.goldMentionsCte)))
+        Synth.goldMentionsCte))
+    ),
+
+    // Stage 1 (windowed turn aggregation -> mention documents).
+    "q_mention_docs" -> (
+      ((s: SparkSession, dir: String) =>
+        Canonicalize.mentionDocs(transcripts(s, dir))),
+      Some(withCtes(
+        "SELECT conv_id, window_start_turn, doc, n_turns FROM mention_docs",
+        Canonicalize.ctes))
+    ),
+
+    // Stage 1 output: the mention / REFERENCE-vertex table (T-1 analogue).
+    "q_mentions" -> (
+      ((s: SparkSession, dir: String) => mentions(s, dir)),
+      Some(withCtes(
+        "SELECT name, weight, mention_id FROM mentions",
+        Canonicalize.ctes))
+    ),
+
+    // Stage 2: tokens + features + name-part tagging (T-2/T-4, F-1/F-2).
+    "q_tokens" -> (
+      ((s: SparkSession, dir: String) => tokens(s, dir)),
+      Some(withCtes(
+        """SELECT mention_id, name, weight, pos, token, is_abbr,
+          |       is_before_dot, name_part
+          |FROM tokens""".stripMargin,
+        pipelineCtes.take(2): _*))
+    ),
+
+    // Stage 3: token document frequency (T-3 / A-2, level 1).
+    "q_token_df" -> (
+      ((s: SparkSession, dir: String) => Blocking.tokenDf(tokens(s, dir))),
+      Some(withCtes(
+        "SELECT token, df FROM token_df",
+        pipelineCtes: _*))
+    ),
+
+    // Stage 4: blocking + scoring + thresholds (B-1..B-3, J-1/J-2, A-1).
+    "q_candidates" -> (
+      ((s: SparkSession, dir: String) =>
+        candidates(s, dir)
+          .select(col("dst_id"), col("org_id"), col("common_cnt"),
+            round(col("sum_sim"), 6).as("sum_sim"),
+            round(col("self_sim"), 6).as("self_sim"))),
+      Some(withCtes(
+        """SELECT dst_id, org_id, common_cnt,
+          |       round(sum_sim, 6) AS sum_sim,
+          |       round(self_sim, 6) AS self_sim
+          |FROM candidates""".stripMargin,
+        pipelineCtes: _*))
+    ),
+
+    // Stage 5a: connected-components clustering (C-2 baseline, A-6, W-2).
+    "q_cc_assignments" -> (
+      ((s: SparkSession, dir: String) => ccAssignments(s, dir)),
+      Some(withCtes(
+        """SELECT mention_id, name, weight, component_id, cluster_id
+          |FROM assignments""".stripMargin,
+        ccCtes: _*))
+    ),
+
+    // Stage 6: weighted pairwise F1 of CC clustering vs gold (E-1).
+    "q_eval_cc" -> (
+      ((s: SparkSession, dir: String) =>
+        Evaluation.pairwiseF1(ccAssignments(s, dir), Synth.goldMentions(s, dir))),
+      Some(withCtes(
+        "SELECT tp, fp, fn, precision, recall, f1 FROM pairwise_eval",
+        evalCtes: _*))
     )
   )
 }

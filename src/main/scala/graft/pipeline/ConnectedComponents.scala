@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage 5a — DataFrame-based connected components over the candidate
+  * graph (iterative transitive closure; the reference's alternative
+  * clusterer `connectedCandidatesGuavaGraphs` + `GraphAnalysis
+  * .connectedComponents`, logic/MessagePassing.java:118-141,
+  * helper/GraphAnalysis.java:17-38 — the paper's "connected component"
+  * baseline, and the component pre-pass for greedy consistency
+  * clustering).
+  *
+  * Algorithm: minimum-label propagation. labels(x) <- min(labels(x),
+  * min over neighbors labels(y)) until fixpoint; each iteration is two
+  * hash-shuffles, `localCheckpoint` truncates lineage (no recursion in
+  * Catalyst). ER candidate graphs after blocking have small components and
+  * tiny diameters, so the loop runs ~O(component diameter) iterations; the
+  * iteration cap + per-iteration changed-count are surfaced for
+  * observability. Skew (giant components) is handled upstream by the
+  * blocking valves and downstream by component-size caps in the greedy
+  * stage.
+  */
+object ConnectedComponents {
+
+  /** edges: (src, dst) undirected pair per surviving candidate (any
+    * direction). Returns (id, component) for every node appearing in
+    * edges; component = min node id reachable. */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** Full assignment for every mention: singletons keep their own id as
+    * component; cluster representative = max-weight member of the
+    * component (ties broken by min mention_id; reference A-6,
+    * MessagePassing.java:138). */
+  def assignments(mentions: DataFrame, candidates: DataFrame): DataFrame = {
+    val edges = candidates
+      .select(least(col("dst_id"), col("org_id")).as("src"),
+        greatest(col("dst_id"), col("org_id")).as("dst"))
+      .distinct()
+    val comp = run(edges)
+    val withComp = mentions
+      .join(comp.withColumnRenamed("id", "mention_id"), Seq("mention_id"), "left")
+      .withColumn("component_id", coalesce(col("component"), col("mention_id")))
+      .drop("component")
+    val reps = withComp
+      .groupBy(col("component_id"))
+      .agg(min_by(col("mention_id"),
+        struct((-col("weight")).as("w"), col("mention_id"))).as("cluster_id"))
+    withComp.join(reps, "component_id")
+      .select(col("mention_id"), col("name"), col("weight"),
+        col("component_id"), col("cluster_id"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB CTEs computing the same assignment via a recursive reachability
+    * closure (sound for oracle scale; the Spark side is the scalable loop).
+    * Append after Blocking.ctes. */
+  val ctes: String =
+    """cc_edges AS (
+      |  SELECT DISTINCT least(dst_id, org_id) AS src,
+      |                  greatest(dst_id, org_id) AS dst
+      |  FROM candidates
+      |),
+      |cc_sym AS (
+      |  SELECT src, dst FROM cc_edges
+      |  UNION SELECT dst, src FROM cc_edges
+      |),
+      |cc_reach AS (
+      |  WITH RECURSIVE r(a, b) AS (
+      |    SELECT src, dst FROM cc_sym
+      |    UNION
+      |    SELECT r.a, e.dst FROM r JOIN cc_sym e ON r.b = e.src
+      |  ) SELECT * FROM r
+      |),
+      |cc_labels AS (
+      |  SELECT a AS id, least(a, min(b)) AS component FROM cc_reach GROUP BY a
+      |),
+      |assignments_pre AS (
+      |  SELECT m.mention_id, m.name, m.weight,
+      |         coalesce(l.component, m.mention_id) AS component_id
+      |  FROM mentions m LEFT JOIN cc_labels l ON m.mention_id = l.id
+      |),
+      |cc_reps AS (
+      |  SELECT component_id, mention_id AS cluster_id FROM (
+      |    SELECT component_id, mention_id,
+      |           row_number() OVER (PARTITION BY component_id
+      |                              ORDER BY weight DESC, mention_id ASC) AS rn
+      |    FROM assignments_pre) WHERE rn = 1
+      |),
+      |assignments AS (
+      |  SELECT a.mention_id, a.name, a.weight, a.component_id, r.cluster_id
+      |  FROM assignments_pre a JOIN cc_reps r USING (component_id)
+      |)""".stripMargin
+}
