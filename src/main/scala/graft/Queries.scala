@@ -26,6 +26,8 @@ object Queries {
     Blocking.candidates(tokens(s, dir))
   private def ccAssignments(s: SparkSession, dir: String) =
     ConnectedComponents.assignments(mentions(s, dir), candidates(s, dir))
+  private def greedyAssignments(s: SparkSession, dir: String) =
+    GreedyClustering.assignments(mentions(s, dir), tokens(s, dir), candidates(s, dir))
 
   /** Assemble a DuckDB query from the shared CTE chain. */
   private def withCtes(body: String, ctes: String*): String =
@@ -117,6 +119,21 @@ object Queries {
         """SELECT mention_id, name, weight, component_id, cluster_id
           |FROM assignments""".stripMargin,
         ccCtes: _*))
+    ),
+
+    // Stage 5b: greedy consistency clustering (C-1/C-3..C-7) — the
+    // production clusterer; per-component pure-Scala rule engine, so no
+    // SQL oracle (driver rows-only check; fixtures cover the rules).
+    "q_greedy_assignments" -> (
+      ((s: SparkSession, dir: String) => greedyAssignments(s, dir)),
+      None
+    ),
+
+    // Stage 6 on greedy clusters: the headline quality metric (E-1).
+    "q_eval_greedy" -> (
+      ((s: SparkSession, dir: String) =>
+        Evaluation.pairwiseF1(greedyAssignments(s, dir), Synth.goldMentions(s, dir))),
+      None
     ),
 
     // Stage 6: weighted pairwise F1 of CC clustering vs gold (E-1).

@@ -63,6 +63,15 @@ object NamePools {
     "roberts", "gomez", "phillips", "evans", "turner", "diaz", "parker",
     "cruz", "edwards", "collins", "reyes", "stewart", "morris", "morales")
 
+  /** Last-name suffixes: composed as base||suffix, expanding the distinct
+    * last-name space to 600 so per-last homonym density matches the
+    * reference corpora (arXiv: 12,863 distinct names, mostly unique
+    * surnames) instead of a 60-name pool's 25-way pile-ups. Suffixing both
+    * the base and its misspelling preserves Soundex equality (unit-tested).
+    */
+  val lastSuffix: Vector[String] = Vector(
+    "", "son", "sen", "man", "berg", "ton", "field", "wood", "stein", "ford")
+
   /** token -> canonical nickname-group id (level-2 NCK element, analogue of
     * the reference's NICKNAME vertices, dao/vertex/V.java:25). Both the
     * formal name and its nickname map to the formal name's group. */

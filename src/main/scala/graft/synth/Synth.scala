@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
 object Synth {
   import NamePools._
 
-  /** Number of variation classes for non-canonical mentions. */
-  private val nVariations = 8
+  /** Number of variation slots for non-canonical mentions. Slots are
+    * weighted: common phenomena (token drop, initials) dominate; hard
+    * classes (nickname, phonetic misspelling, reorder) get 1/16 each,
+    * mirroring their rarity in the reference corpora (arXiv upper bound
+    * 0.9939 implies few unblockable variants). */
+  private val nVariations = 16
 
   /** Spark-side generator. Reads only customer.c_custkey from sfDir. */
   def transcripts(spark: SparkSession, sfDir: String): DataFrame = {
@@ -36,26 +40,33 @@ object Synth {
     val mArr = array(middle.map(lit): _*)
     val lArr = array(last.map(lit): _*)
     val pArr = array(misspellOfLast.map(lit): _*)
+    val sArr = array(lastSuffix.map(lit): _*)
 
     spark.read.parquet(s"$sfDir/customer.parquet")
       .select($"c_custkey".as("k"))
-      .withColumn("f", element_at(fArr, ($"k" % 40).cast("int") + 1))
-      .withColumn("nick", element_at(nArr, ($"k" % 40).cast("int") + 1))
-      .withColumn("mid", element_at(mArr, expr("cast(k div 3 as int) % 20") + 1))
-      .withColumn("l", element_at(lArr, expr("cast(k div 7 as int) % 60") + 1))
-      .withColumn("missp", element_at(pArr, expr("cast(k div 7 as int) % 60") + 1))
+      // Knuth multiplicative hash decorrelates the pool indices so entity
+      // full-name collisions are rare random namesakes (~n^2/96000), not a
+      // short arithmetic cycle.
+      .withColumn("h", ($"k" * lit(2654435761L)) % lit(2147483647L))
+      .withColumn("f", element_at(fArr, ($"h" % 40).cast("int") + 1))
+      .withColumn("nick", element_at(nArr, ($"h" % 40).cast("int") + 1))
+      .withColumn("mid", element_at(mArr, expr("cast(h div 40 as int) % 20") + 1))
+      .withColumn("suf", element_at(sArr, expr("cast(h div 48000 as int) % 10") + 1))
+      .withColumn("l", concat(element_at(lArr, expr("cast(h div 800 as int) % 60") + 1), $"suf"))
+      .withColumn("missp", concat(element_at(pArr, expr("cast(h div 800 as int) % 60") + 1), $"suf"))
       .withColumn("m", explode(sequence(lit(0), (lit(1) + $"k" % 3).cast("int"))))
       .withColumn("v", when($"m" === 0, lit(-1L)).otherwise(($"k" + $"m" * 3) % nVariations))
       .withColumn("surface",
-        when($"v" === -1, concat_ws(" ", $"f", $"mid", $"l"))
-          .when($"v" === 0, concat_ws(" ", $"f", $"l"))
-          .when($"v" === 1, concat(substring($"f", 1, 1), lit(". "), $"mid", lit(" "), $"l"))
-          .when($"v" === 2, concat($"f", lit(" "), substring($"mid", 1, 1), lit(". "), $"l"))
-          .when($"v" === 3, concat(substring($"f", 1, 1), lit(" "), substring($"mid", 1, 1), lit(" "), $"l"))
-          .when($"v" === 4, concat_ws(" ", $"nick", $"l"))
-          .when($"v" === 5, concat_ws(" ", $"f", $"missp"))
-          .when($"v" === 6, concat_ws(" ", $"l", $"f"))
-          .otherwise(concat_ws(" ", $"f", $"mid", $"l", lit("jr"))))
+        when($"v".isin(-1, 8, 9), concat_ws(" ", $"f", $"mid", $"l"))
+          .when($"v".isin(0, 1), concat_ws(" ", $"f", $"l"))
+          .when($"v".isin(2, 3), concat(substring($"f", 1, 1), lit(". "), $"mid", lit(" "), $"l"))
+          .when($"v".isin(4, 5), concat($"f", lit(" "), substring($"mid", 1, 1), lit(". "), $"l"))
+          .when($"v".isin(6, 7), concat(substring($"f", 1, 1), lit(" "), substring($"mid", 1, 1), lit(" "), $"l"))
+          .when($"v".isin(10, 11), concat_ws(" ", $"f", $"mid", $"l", lit("jr")))
+          .when($"v" === 12, concat_ws(" ", $"nick", $"l"))
+          .when($"v" === 13, concat_ws(" ", $"f", $"missp"))
+          .when($"v" === 14, concat_ws(" ", $"l", $"f"))
+          .otherwise(concat(substring($"f", 1, 1), lit(". "), $"l")))
       .withColumn("conv_seq", $"k" * 4 + $"m")
       .withColumn("conv_id", concat(lit("c"), lpad($"conv_seq".cast("string"), 8, "0")))
       .withColumn("turn_idx", explode(sequence(lit(0), lit(3))))
@@ -109,14 +120,16 @@ object Synth {
   val transcriptsCte: String = {
     val fL = sqlList(first); val nL = sqlList(nickOfFirst)
     val mL = sqlList(middle); val lL = sqlList(last); val pL = sqlList(misspellOfLast)
+    val sL = sqlList(lastSuffix)
     s"""ent AS (
        |  SELECT c_custkey AS k,
-       |         ($fL)[(c_custkey % 40)::INT + 1] AS f,
-       |         ($nL)[(c_custkey % 40)::INT + 1] AS nick,
-       |         ($mL)[((c_custkey // 3) % 20)::INT + 1] AS mid,
-       |         ($lL)[((c_custkey // 7) % 60)::INT + 1] AS l,
-       |         ($pL)[((c_custkey // 7) % 60)::INT + 1] AS missp
-       |  FROM customer
+       |         ($fL)[(h % 40)::INT + 1] AS f,
+       |         ($nL)[(h % 40)::INT + 1] AS nick,
+       |         ($mL)[((h // 40) % 20)::INT + 1] AS mid,
+       |         ($lL)[((h // 800) % 60)::INT + 1] || ($sL)[((h // 48000) % 10)::INT + 1] AS l,
+       |         ($pL)[((h // 800) % 60)::INT + 1] || ($sL)[((h // 48000) % 10)::INT + 1] AS missp
+       |  FROM (SELECT c_custkey, (c_custkey * 2654435761) % 2147483647 AS h
+       |        FROM customer)
        |),
        |mention_rows AS (
        |  SELECT ent.*, gs.m,
@@ -125,16 +138,17 @@ object Synth {
        |),
        |surfaces AS (
        |  SELECT *,
-       |         CASE v
-       |           WHEN -1 THEN f || ' ' || mid || ' ' || l
-       |           WHEN 0 THEN f || ' ' || l
-       |           WHEN 1 THEN substr(f, 1, 1) || '. ' || mid || ' ' || l
-       |           WHEN 2 THEN f || ' ' || substr(mid, 1, 1) || '. ' || l
-       |           WHEN 3 THEN substr(f, 1, 1) || ' ' || substr(mid, 1, 1) || ' ' || l
-       |           WHEN 4 THEN nick || ' ' || l
-       |           WHEN 5 THEN f || ' ' || missp
-       |           WHEN 6 THEN l || ' ' || f
-       |           ELSE f || ' ' || mid || ' ' || l || ' jr'
+       |         CASE
+       |           WHEN v IN (-1, 8, 9) THEN f || ' ' || mid || ' ' || l
+       |           WHEN v IN (0, 1) THEN f || ' ' || l
+       |           WHEN v IN (2, 3) THEN substr(f, 1, 1) || '. ' || mid || ' ' || l
+       |           WHEN v IN (4, 5) THEN f || ' ' || substr(mid, 1, 1) || '. ' || l
+       |           WHEN v IN (6, 7) THEN substr(f, 1, 1) || ' ' || substr(mid, 1, 1) || ' ' || l
+       |           WHEN v IN (10, 11) THEN f || ' ' || mid || ' ' || l || ' jr'
+       |           WHEN v = 12 THEN nick || ' ' || l
+       |           WHEN v = 13 THEN f || ' ' || missp
+       |           WHEN v = 14 THEN l || ' ' || f
+       |           ELSE substr(f, 1, 1) || '. ' || l
        |         END AS surface,
        |         k * 4 + m AS conv_seq
        |  FROM mention_rows
