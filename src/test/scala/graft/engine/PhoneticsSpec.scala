@@ -1,0 +1,49 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.synth.NamePools
+
+class PhoneticsSpec extends AnyFunSuite {
+  import Phonetics._
+
+  test("soundex standard vectors (incl. h/w rule)") {
+    assert(soundex("robert") === "R163")
+    assert(soundex("rupert") === "R163")
+    assert(soundex("ashcraft") === "A261") // h transparent between s,c
+    assert(soundex("ashcroft") === "A261")
+    assert(soundex("tymczak") === "T522")
+    assert(soundex("pfister") === "P236") // f merges into initial p
+    assert(soundex("honeyman") === "H555")
+    assert(soundex("smith") === "S530")
+    assert(soundex("smyth") === "S530")
+  }
+
+  test("soundex padding and edge cases") {
+    assert(soundex("lee") === "L000")
+    assert(soundex("j") === "J000")
+    assert(soundex("") === "")
+  }
+
+  test("every misspelling pair shares its soundex code, with every suffix") {
+    for (((l, p), i) <- NamePools.last.zip(NamePools.misspellOfLast).zipWithIndex
+         if l != p; suf <- NamePools.lastSuffix) {
+      assert(soundex(l + suf) === soundex(p + suf),
+        s"pool index $i: $l$suf vs $p$suf")
+    }
+  }
+
+  test("nickname groups map both formal and nick to the formal name") {
+    assert(NamePools.nicknameGroup("james") === "james")
+    assert(NamePools.nicknameGroup("jim") === "james")
+    assert(NamePools.nicknameGroup("peggy") === "margaret")
+    assert(!NamePools.nicknameGroup.contains("zzz"))
+  }
+
+  test("metaphone groups phonetically equal surnames") {
+    assert(metaphone("smith") === metaphone("smyth"))
+    assert(metaphone("davis") === metaphone("davies"))
+    assert(metaphone("johnson") === metaphone("jonson"))
+    assert(metaphone("metaphone").nonEmpty)
+    assert(metaphone("") === "")
+  }
+}
