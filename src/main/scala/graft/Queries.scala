@@ -112,6 +112,22 @@ object Queries {
         pipelineCtes: _*))
     ),
 
+    // Stage 4b: hybrid in-block scorers as custom Catalyst expressions
+    // (Jaro-Winkler / Levenshtein / Monge-Elkan; F-3 extensions).
+    "q_candidates_hybrid" -> (
+      ((s: SparkSession, dir: String) =>
+        HybridScoring.hybridCandidates(mentions(s, dir), candidates(s, dir))
+          .select(col("dst_id"), col("org_id"), col("dst_name"), col("org_name"),
+            round(col("jw"), 6).as("jw"), col("lev").cast("long").as("lev"),
+            round(col("monge_elkan"), 6).as("monge_elkan"))),
+      Some(withCtes(
+        """SELECT dst_id, org_id, dst_name, org_name,
+          |       round(jw, 6) AS jw, lev,
+          |       round(monge_elkan, 6) AS monge_elkan
+          |FROM hybrid_candidates""".stripMargin,
+        (pipelineCtes :+ HybridScoring.ctes): _*))
+    ),
+
     // Stage 5a: connected-components clustering (C-2 baseline, A-6, W-2).
     "q_cc_assignments" -> (
       ((s: SparkSession, dir: String) => ccAssignments(s, dir)),

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, UnaryExpression, Expression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.engine.Phonetics
+
+/** Custom Catalyst expressions (SURVEY.md §4.2: the only extension surface
+  * this engine needs — no new logical operators, so no Rule/SparkStrategy).
+  * All implement full `doGenCode` as a static call into the pure kernels,
+  * staying inside whole-stage codegen on the scoring hot path; no Scala
+  * UDF boxing.
+  *
+  * Entry points for Java codegen live in [[GraftFunctions]] (static-ish
+  * object methods referenced by fully-qualified name).
+  */
+object GraftFunctions {
+
+  // codegen-visible static entry points (UTF8String in/out)
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double =
+    StringSim.jaroWinkler(a.toString, b.toString)
+  def mongeElkan(a: UTF8String, b: UTF8String): Double =
+    StringSim.mongeElkan(a.toString, b.toString)
+  def soundex(a: UTF8String): UTF8String =
+    UTF8String.fromString(Phonetics.soundex(a.toString))
+  def metaphone(a: UTF8String): UTF8String =
+    UTF8String.fromString(Phonetics.metaphone(a.toString))
+
+  private val O = "graft.functions.GraftFunctions"
+
+  /** Register all graft expressions as session temp functions, usable from
+    * both the DataFrame API (expr(...)) and SQL. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_jaro_winkler",
+      (es: Seq[Expression]) => JaroWinklerExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_monge_elkan",
+      (es: Seq[Expression]) => MongeElkanExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_soundex",
+      (es: Seq[Expression]) => SoundexExpr(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_metaphone",
+      (es: Seq[Expression]) => MetaphoneExpr(es(0)), "scala_udf")
+  }
+}
+
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftFunctions.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftFunctions.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class MongeElkanExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftFunctions.mongeElkan(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftFunctions.mongeElkan($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class SoundexExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any): Any =
+    GraftFunctions.soundex(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GraftFunctions.soundex($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class MetaphoneExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any): Any =
+    GraftFunctions.metaphone(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GraftFunctions.metaphone($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
