@@ -152,6 +152,53 @@ object Queries {
       None
     ),
 
+    // Labeled pairs for paired evaluation (E-2 input; S-4 analogue).
+    "q_gold_pairs" -> (
+      ((s: SparkSession, dir: String) => Synth.goldPairs(s, dir)),
+      Some(withCtes(
+        "SELECT id1, id2, label FROM gold_pairs",
+        Canonicalize.ctes, Synth.goldMentionsCte, Synth.goldPairsCte))
+    ),
+
+    // E-2 paired F-measure over CC clusters (full SQL oracle).
+    "q_eval_paired_cc" -> (
+      ((s: SparkSession, dir: String) =>
+        PairedEval.pairedF1(ccAssignments(s, dir), Synth.goldPairs(s, dir))),
+      Some(withCtes(
+        "SELECT tp, fp, fn, precision, recall, f1 FROM paired_eval",
+        (ccCtes ++ Seq(Synth.goldMentionsCte, Synth.goldPairsCte, PairedEval.ctes)): _*))
+    ),
+
+    // E-2 paired F-measure over greedy consistency clusters.
+    "q_eval_paired_greedy" -> (
+      ((s: SparkSession, dir: String) =>
+        PairedEval.pairedF1(greedyAssignments(s, dir), Synth.goldPairs(s, dir))),
+      None
+    ),
+
+    // T-3 at maxLevel=3: full element-hierarchy statistics (A-2/A-4).
+    "q_element_stats" -> (
+      ((s: SparkSession, dir: String) => SimGraph.elementStats(tokens(s, dir))),
+      None // soundex-derived keys are not DuckDB-expressible; fixture-tested
+    ),
+
+    // B-7 + S-3: bi-directional hierarchical re-score, similarity graph.
+    "q_sim_graph_edges" -> (
+      ((s: SparkSession, dir: String) =>
+        SimGraph.simGraphEdges(tokens(s, dir), candidates(s, dir))),
+      None
+    ),
+    "q_sim_graph_vertices" -> (
+      ((s: SparkSession, dir: String) =>
+        SimGraph.simGraphVertices(mentions(s, dir), Synth.goldMentions(s, dir))),
+      Some(withCtes(
+        """SELECT m.mention_id AS id, m.name AS label, m.weight,
+          |       min(g.entity_id) AS res_id
+          |FROM mentions m JOIN gold_mentions g USING (name)
+          |GROUP BY 1, 2, 3""".stripMargin,
+        Canonicalize.ctes, Synth.goldMentionsCte))
+    ),
+
     // Stage 6: weighted pairwise F1 of CC clustering vs gold (E-1).
     "q_eval_cc" -> (
       ((s: SparkSession, dir: String) =>

@@ -70,7 +70,7 @@ final case class ElementKey(level: Int, kind: Char, value: String)
   * upstream-precomputed TKN_SIM / TKN_NCK / SIM_ABR edges. */
 final class Hierarchy(
     coder: String => String,
-    nickGroup: Map[String, String]) {
+    nickGroup: Map[String, String]) extends Serializable {
 
   val maxLevel = 3
 

@@ -110,6 +110,58 @@ object Synth {
       .select($"conv_id", $"turn_idx", $"surface", $"entity_id")
   }
 
+  /** Labeled pairs for paired evaluation (E-2 input; the reference's
+    * gold-pairs TSV, evaluation/paired/FMeasure.java:107-111).
+    * Positives: name pairs sharing an entity. Negatives: name pairs
+    * sharing their final token but no entity (hard negatives inside the
+    * natural block). Returns (id1, id2, label) over mention ids. */
+  def goldPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gold = goldMentions(spark, sfDir)
+    val mentions = graft.pipeline.Canonicalize.mentions(transcripts(spark, sfDir))
+      .select($"name", $"mention_id")
+    val pos = gold.as("a").join(gold.as("b"), "entity_id")
+      .filter($"a.name" < $"b.name")
+      .select($"a.name".as("name1"), $"b.name".as("name2")).distinct()
+    val lastw = gold.select($"name").distinct()
+      .withColumn("lw", element_at(split($"name", " "), -1))
+    val sameLw = lastw.as("a").join(lastw.as("b"), "lw")
+      .filter($"a.name" < $"b.name")
+      .select($"a.name".as("name1"), $"b.name".as("name2"))
+    val neg = sameLw.join(pos, Seq("name1", "name2"), "left_anti")
+    pos.withColumn("label", lit(1))
+      .unionByName(neg.withColumn("label", lit(0)))
+      .join(mentions.withColumnRenamed("name", "name1").withColumnRenamed("mention_id", "id1"), "name1")
+      .join(mentions.withColumnRenamed("name", "name2").withColumnRenamed("mention_id", "id2"), "name2")
+      .select($"id1", $"id2", $"label")
+  }
+
+  /** DuckDB CTE `gold_pairs`; append after Canonicalize.ctes +
+    * [[goldMentionsCte]]. */
+  val goldPairsCte: String =
+    """gp_pos AS (
+      |  SELECT DISTINCT a.name AS name1, b.name AS name2
+      |  FROM gold_mentions a JOIN gold_mentions b USING (entity_id)
+      |  WHERE a.name < b.name
+      |),
+      |gp_lastw AS (
+      |  SELECT DISTINCT name, string_split(name, ' ')[-1] AS lw FROM gold_mentions
+      |),
+      |gp_neg AS (
+      |  SELECT a.name AS name1, b.name AS name2
+      |  FROM gp_lastw a JOIN gp_lastw b USING (lw)
+      |  WHERE a.name < b.name
+      |    AND NOT EXISTS (SELECT 1 FROM gp_pos p
+      |                    WHERE p.name1 = a.name AND p.name2 = b.name)
+      |),
+      |gold_pairs AS (
+      |  SELECT m1.mention_id AS id1, m2.mention_id AS id2, p.label
+      |  FROM (SELECT name1, name2, 1 AS label FROM gp_pos
+      |        UNION ALL SELECT name1, name2, 0 FROM gp_neg) p
+      |  JOIN mentions m1 ON p.name1 = m1.name
+      |  JOIN mentions m2 ON p.name2 = m2.name
+      |)""".stripMargin
+
   // ---------------------------------------------------------------------
   // DuckDB oracle mirror
   // ---------------------------------------------------------------------
