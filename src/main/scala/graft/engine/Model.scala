@@ -168,20 +168,32 @@ final class MatchResult(val profile: ClusterProfile, refToks: Seq[Tok]) {
 
   def isConsistent: Boolean = isConsistent(currentParts)
 
-  /** MatchResult.isConsistent(parts) (MatchResult.java:166-192). */
+  /** MatchResult.isConsistent(parts) (MatchResult.java:166-192).
+    * Algorithmically identical to the reference; the per-entry match list
+    * and the unmatched-token list are each computed once per call instead
+    * of per entry (pure hoisting — they are invariant within a call). */
   def isConsistent(parts: Array[Int]): Boolean = {
+    val byEntry = new java.util.IdentityHashMap[ProfileEntry, mutable.ArrayBuffer[Matched]]()
+    matched.foreach { m =>
+      var buf = byEntry.get(m.entry)
+      if (buf == null) { buf = mutable.ArrayBuffer.empty[Matched]; byEntry.put(m.entry, buf) }
+      buf += m
+    }
+    val notMatched = notMatchedToks
     for (pe <- profile.entries) {
-      val best = matched.iterator.filter(_.entry eq pe).toSeq
-        .sortBy(m => (m.key.level,
+      val ms = byEntry.get(pe)
+      val best =
+        if (ms == null) None
+        else ms.sortBy(m => (m.key.level,
           if (pe.namePart == parts(m.tok.pos)) 0 else 1,
           m.tok.pos))
-        .headOption
+          .headOption
       best match {
         case None =>
           if (pe.namePart == LASTNAME || pe.namePart == FIRSTNAME) return false
           // Java null == null is true, so NONE == NONE counts as same part
           // (MatchResult.java:176).
-          if (notMatchedToks.exists(t => parts(t.pos) == pe.namePart))
+          if (notMatched.exists(t => parts(t.pos) == pe.namePart))
             return false
         case Some(m) if pe.namePart != NONE && pe.namePart == parts(m.tok.pos) =>
           if (pe.namePart == LASTNAME) {

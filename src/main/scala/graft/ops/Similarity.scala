@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table
+  * (vec_id, embedding float[], label).
+  *
+  * Brute-force cosine top-k is the correctness baseline (quadratic —
+  * fine at verification scale, explicitly NOT the scale path). The
+  * random-hyperplane LSH variant is the scale path: signatures are a
+  * linear scan, the quadratic join is confined to hash buckets. Both use
+  * only codegen'd higher-order functions (zip_with/aggregate) — no UDFs.
+  */
+object Similarity {
+
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+
+  private def norm(c: String) =
+    expr(s"sqrt(aggregate(transform($c, x -> cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v))")
+
+  /** Brute-force cosine top-k: (vec_id, neighbor_id, cosine, rank). */
+  def knnBrute(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm("embedding"))
+    val a = e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    a.crossJoin(b)
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(dot("ea", "eb") / (col("na") * col("nb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic random-hyperplane weights per hash table:
+    * (table t, plane p, dim d) -> ±1 from md5 parity — reproducible in
+    * the oracle. */
+  private def planeWeights(embeddings: DataFrame, tables: Int, planes: Int,
+      dims: Int): DataFrame = {
+    val s = embeddings.sparkSession
+    s.range(tables).toDF("t")
+      .crossJoin(s.range(planes).toDF("p"))
+      .crossJoin(s.range(dims).toDF("d"))
+      .withColumn("wgt",
+        when(conv(substring(md5(concat_ws(":", col("t"), col("p"), col("d"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, 1.0).otherwise(-1.0))
+  }
+
+  /** Multi-table LSH signatures: (vec_id, t, sig) — one sign-pattern
+    * bucket per hash table; more tables = higher recall, standard
+    * random-hyperplane LSH. */
+  def lshSignatures(embeddings: DataFrame, tables: Int = 6, planes: Int = 5): DataFrame = {
+    val dims = embeddings.selectExpr("size(embedding) d").limit(1)
+      .collect()(0).getInt(0)
+    val exploded = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .withColumn("v", col("v").cast("double"))
+    exploded
+      .join(planeWeights(embeddings, tables, planes, dims), "d")
+      .groupBy(col("vec_id"), col("t"), col("p"))
+      .agg(sum(col("v") * col("wgt")).as("proj"))
+      .groupBy(col("vec_id"), col("t"))
+      .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, cast(p as int))"))
+        .otherwise(0L)).as("sig"))
+  }
+
+  /** ANN top-k via multi-table LSH buckets: candidate pairs share a bucket
+    * in ANY table; quadratic work confined to buckets. */
+  def annTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 6, planes: Int = 5): DataFrame = {
+    val sigs = lshSignatures(embeddings, tables, planes)
+    val candPairs = sigs.as("x")
+      .join(sigs.as("y"), Seq("t", "sig"))
+      .filter(col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"))
+      .distinct()
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm("embedding"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candPairs
+      .join(e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na")), "vec_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "neighbor_id")
+      .withColumn("cosine", round(dot("ea", "eb") / (col("na") * col("nb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  val ctes: String =
+    """emb AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_sum([ (x::DOUBLE) * (x::DOUBLE) FOR x IN embedding ])) AS nrm
+      |  FROM embeddings
+      |),
+      |knn_brute AS (
+      |  SELECT vec_id, neighbor_id, cosine, rank::INT AS rank FROM (
+      |    SELECT a.vec_id, b.vec_id AS neighbor_id,
+      |           round(list_sum([ (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)
+      |                            FOR i IN generate_series(1, len(a.embedding)) ])
+      |                 / (a.nrm * b.nrm), 6) AS cosine,
+      |           row_number() OVER (PARTITION BY a.vec_id
+      |                              ORDER BY round(list_sum([ (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)
+      |                            FOR i IN generate_series(1, len(a.embedding)) ])
+      |                 / (a.nrm * b.nrm), 6) DESC, b.vec_id ASC) AS rank
+      |    FROM emb a, emb b WHERE a.vec_id <> b.vec_id
+      |  ) WHERE rank <= 5
+      |),
+      |plane_weights AS (
+      |  SELECT t, p, d,
+      |         CASE WHEN ('0x' || substr(md5(t::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT % 2 = 0
+      |              THEN 1.0 ELSE -1.0 END AS wgt
+      |  FROM (SELECT unnest(generate_series(0, 5)) AS t),
+      |       (SELECT unnest(generate_series(0, 4)) AS p),
+      |       (SELECT unnest(generate_series(0, 63)) AS d)
+      |),
+      |lsh_sigs AS (
+      |  SELECT vec_id, t,
+      |         sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS sig
+      |  FROM (
+      |    SELECT e.vec_id, w.t, w.p, sum((e.embedding[w.d + 1]::DOUBLE) * w.wgt) AS proj
+      |    FROM embeddings e, plane_weights w
+      |    GROUP BY 1, 2, 3
+      |  ) GROUP BY 1, 2
+      |)""".stripMargin
+}

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over `documents`:
+  * language ID (stopword-ratio heuristic), quality scoring, token
+  * counting (whitespace + BPE-ish regex), and document fingerprinting
+  * (polynomial rolling hash). All pure column expressions — one scan,
+  * fully codegen'd, trivially scalable. */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists (heuristic n-gram-free lang-id). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "is", "to", "in", "of", "for", "on", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu", "im", "mit", "auf", "ein"),
+    "fr" -> Seq("le", "la", "et", "est", "dans", "pour", "sur", "avec", "un", "une"),
+    "es" -> Seq("el", "la", "y", "es", "en", "para", "con", "un", "una", "por"))
+
+  private def ratioFor(lang: String) = {
+    val lst = stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
+    expr(s"size(filter(words, w -> w in $lst)) / cast(greatest(size(words), 1) as double)")
+  }
+
+  /** (doc_id, lang, en/de/fr/es ratios, lang_pred). Ties and all-zero
+    * scores resolve to 'und'. */
+  def langId(documents: DataFrame): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+      .withColumn("r_en", round(ratioFor("en"), 6))
+      .withColumn("r_de", round(ratioFor("de"), 6))
+      .withColumn("r_fr", round(ratioFor("fr"), 6))
+      .withColumn("r_es", round(ratioFor("es"), 6))
+    base.withColumn("best",
+      greatest(col("r_en"), col("r_de"), col("r_fr"), col("r_es")))
+      .withColumn("lang_pred",
+        when(col("best") <= 0, "und")
+          .when(col("r_en") === col("best"), "en")
+          .when(col("r_de") === col("best"), "de")
+          .when(col("r_fr") === col("best"), "fr")
+          .otherwise("es"))
+      .select(col("doc_id"), col("lang"), col("r_en"), col("r_de"),
+        col("r_fr"), col("r_es"), col("lang_pred"))
+  }
+
+  /** Quality features + composite score:
+    * (doc_id, n_words, mean_word_len, punct_ratio, stop_ratio, quality). */
+  def qualityScore(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("mean_word_len",
+        round(expr("aggregate(words, 0L, (a, w) -> a + length(w)) / cast(greatest(size(words), 1) as double)"), 6))
+      .withColumn("punct_ratio",
+        round((length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+          / length(col("text")).cast("double"), 6))
+      .withColumn("stop_ratio", round(ratioFor("en"), 6))
+      .withColumn("quality", round(
+        least(col("n_words") / lit(50.0), lit(1.0)) * 0.4
+          + (lit(1.0) - col("punct_ratio")) * 0.3
+          + least(col("mean_word_len") / lit(8.0), lit(1.0)) * 0.3, 6))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("punct_ratio"), col("stop_ratio"), col("quality"))
+
+  /** Token counting: whitespace tokens and BPE-ish regex tokens
+    * (alnum runs + single punctuation marks). */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(split(col("text"), " +")).cast("long").as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)")).cast("long")
+        .as("bpe_tokens"))
+
+  /** Polynomial rolling-hash fingerprint over words, mod 2^31:
+    * (doc_id, fingerprint). */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      expr(
+        """aggregate(split(text, ' '), 0L,
+          |  (acc, w) -> (acc * 131 + cast(conv(substring(md5(w), 1, 8), 16, 10) as long))
+          |              % 2147483648L)""".stripMargin).as("fingerprint"))
+
+  // ---------------------------------------------------------------- oracle
+
+  private def sqlList(lang: String): String =
+    stopwords(lang).mkString("('", "', '", "')")
+
+  val ctes: String =
+    s"""ta_words AS (
+       |  SELECT doc_id, lang, text, string_split(text, ' ') AS words FROM documents
+       |),
+       |ta_ratios AS (
+       |  SELECT doc_id, lang,
+       |    round(len([w FOR w IN words IF w IN ${sqlList("en")}]) / greatest(len(words), 1)::DOUBLE, 6) AS r_en,
+       |    round(len([w FOR w IN words IF w IN ${sqlList("de")}]) / greatest(len(words), 1)::DOUBLE, 6) AS r_de,
+       |    round(len([w FOR w IN words IF w IN ${sqlList("fr")}]) / greatest(len(words), 1)::DOUBLE, 6) AS r_fr,
+       |    round(len([w FOR w IN words IF w IN ${sqlList("es")}]) / greatest(len(words), 1)::DOUBLE, 6) AS r_es
+       |  FROM ta_words
+       |),
+       |lang_id AS (
+       |  SELECT doc_id, lang, r_en, r_de, r_fr, r_es,
+       |         CASE WHEN greatest(r_en, r_de, r_fr, r_es) <= 0 THEN 'und'
+       |              WHEN r_en = greatest(r_en, r_de, r_fr, r_es) THEN 'en'
+       |              WHEN r_de = greatest(r_en, r_de, r_fr, r_es) THEN 'de'
+       |              WHEN r_fr = greatest(r_en, r_de, r_fr, r_es) THEN 'fr'
+       |              ELSE 'es' END AS lang_pred
+       |  FROM ta_ratios
+       |),
+       |quality AS (
+       |  SELECT doc_id, n_words, mean_word_len, punct_ratio, stop_ratio,
+       |         round(least(n_words / 50.0, 1.0) * 0.4
+       |               + (1.0 - punct_ratio) * 0.3
+       |               + least(mean_word_len / 8.0, 1.0) * 0.3, 6) AS quality
+       |  FROM (
+       |    SELECT w.doc_id, len(words)::BIGINT AS n_words,
+       |           round(list_sum([len(x) FOR x IN words])
+       |                 / greatest(len(words), 1)::DOUBLE, 6) AS mean_word_len,
+       |           round((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+       |                 / length(text)::DOUBLE, 6) AS punct_ratio,
+       |           r.r_en AS stop_ratio
+       |    FROM ta_words w JOIN ta_ratios r USING (doc_id)
+       |  )
+       |),
+       |token_counts AS (
+       |  SELECT doc_id,
+       |         len(regexp_split_to_array(text, ' +'))::BIGINT AS ws_tokens,
+       |         len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]'))::BIGINT AS bpe_tokens
+       |  FROM documents
+       |),
+       |doc_fingerprints AS (
+       |  SELECT doc_id,
+       |         list_reduce(
+       |           list_prepend(0::BIGINT,
+       |             [ ('0x' || substr(md5(w), 1, 8))::BIGINT FOR w IN string_split(text, ' ') ]),
+       |           (acc, x) -> (acc * 131 + x) % 2147483648) AS fingerprint
+       |  FROM documents
+       |)""".stripMargin
+}

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators over the `documents`
+  * table (doc_id, text, lang, source, n_chars).
+  *
+  * All hash derivations use md5-prefix integers so the DuckDB oracle can
+  * reproduce values bit-exactly; at production scale the same shapes run
+  * with xxhash64 (cheaper, same plan).
+  *
+  * Scale notes: exact dedup is one hash-shuffle; MinHash is
+  * explode -> per-key min (partial agg) -> band-bucket self-join (the only
+  * quadratic step, bounded per bucket); verification joins run only on
+  * LSH-surviving pairs.
+  */
+object TextDedup {
+
+  /** 32-bit integer from md5 prefix — cross-engine deterministic. */
+  private def h32(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Exact duplicate groups: (doc_id, text_hash, keep_id, is_dup). */
+  def exactDups(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("text_hash"))
+    documents
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+  }
+
+  /** Distinct word 3-gram shingles per doc: (doc_id, shingle). */
+  def shingles(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(w) - 2, 0)),
+          |          i -> concat_ws(' ', w[i-1], w[i], w[i+1]))""".stripMargin))
+        .as("shingle"))
+      .distinct()
+
+  /** MinHash signatures, 8 permutations: (doc_id, j, minhash). */
+  def minhashSignatures(documents: DataFrame, nHashes: Int = 8): DataFrame =
+    shingles(documents)
+      .crossJoin(spark_range_df(documents, nHashes))
+      .withColumn("h", h32(concat(col("shingle"), lit(":"), col("j"))))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(col("h")).as("minhash"))
+
+  private def spark_range_df(documents: DataFrame, n: Int): DataFrame =
+    documents.sparkSession.range(n).toDF("j")
+
+  /** LSH candidate pairs with 4 bands x 2 rows: (a, b) doc pairs sharing
+    * at least one band signature. */
+  def lshPairs(documents: DataFrame, nHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sigs = minhashSignatures(documents, nHashes)
+      .withColumn("band", (col("j") / rowsPerBand).cast("int"))
+    val buckets = sigs
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(j, minhash))), x -> x.minhash)"), ",")
+        .as("bucket_key"))
+    buckets.as("x").join(buckets.as("y"), Seq("band", "bucket_key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Exact word-3-gram Jaccard for LSH-surviving pairs:
+    * (a, b, inter_cnt, a_cnt, b_cnt, jaccard). */
+  def ngramJaccard(documents: DataFrame, minJaccard: Double = 0.0): DataFrame = {
+    val sh = shingles(documents)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
+    val pairs = lshPairs(documents)
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("a"), col("shingle")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter_cnt"))
+    pairs.join(inter, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("inter_cnt"))
+      .join(counts.select(col("doc_id").as("a"), col("cnt").as("a_cnt")), "a")
+      .join(counts.select(col("doc_id").as("b"), col("cnt").as("b_cnt")), "b")
+      .withColumn("jaccard",
+        round(col("inter_cnt") / (col("a_cnt") + col("b_cnt") - col("inter_cnt")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("inter_cnt"), col("a_cnt"), col("b_cnt"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash fingerprints: (doc_id, simhash). */
+  def simhash(documents: DataFrame): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("h", h32(col("word")))
+    words
+      .crossJoin(words.sparkSession.range(32).toDF("b"))
+      .withColumn("contrib",
+        when(expr("(h >> cast(b as int)) & 1") === 1, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, cast(b as int))")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB CTEs over the driver-registered `documents` view. */
+  val ctes: String =
+    """doc_words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |),
+      |doc_shingles AS (
+      |  SELECT DISTINCT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                  FOR i IN generate_series(1, greatest(len(w) - 2, 0))]) AS shingle
+      |  FROM doc_words
+      |),
+      |minhash_sigs AS (
+      |  SELECT doc_id, j,
+      |         min(('0x' || substr(md5(shingle || ':' || j::VARCHAR), 1, 8))::BIGINT) AS minhash
+      |  FROM doc_shingles, (SELECT unnest(generate_series(0, 7)) AS j)
+      |  GROUP BY 1, 2
+      |),
+      |lsh_buckets AS (
+      |  SELECT doc_id, (j // 2)::INT AS band,
+      |         string_agg(minhash::VARCHAR, ',' ORDER BY j) AS bucket_key
+      |  FROM minhash_sigs GROUP BY 1, 2
+      |),
+      |lsh_pairs AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM lsh_buckets x JOIN lsh_buckets y USING (band, bucket_key)
+      |  WHERE x.doc_id < y.doc_id
+      |),
+      |shingle_counts AS (
+      |  SELECT doc_id, count(*) AS cnt FROM doc_shingles GROUP BY 1
+      |),
+      |ngram_jaccard AS (
+      |  SELECT p.a, p.b, coalesce(i.inter_cnt, 0) AS inter_cnt,
+      |         ca.cnt AS a_cnt, cb.cnt AS b_cnt,
+      |         round(coalesce(i.inter_cnt, 0)
+      |               / (ca.cnt + cb.cnt - coalesce(i.inter_cnt, 0)), 6) AS jaccard
+      |  FROM lsh_pairs p
+      |  LEFT JOIN (SELECT p.a, p.b, count(*) AS inter_cnt
+      |             FROM lsh_pairs p
+      |             JOIN doc_shingles sa ON sa.doc_id = p.a
+      |             JOIN doc_shingles sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+      |             GROUP BY 1, 2) i ON p.a = i.a AND p.b = i.b
+      |  JOIN shingle_counts ca ON ca.doc_id = p.a
+      |  JOIN shingle_counts cb ON cb.doc_id = p.b
+      |),
+      |doc_simhash AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+      |  FROM (
+      |    SELECT doc_id, b,
+      |           sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      |    FROM (
+      |      SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
+      |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |      WHERE word <> ''
+      |    ), (SELECT unnest(generate_series(0, 31)) AS b)
+      |    GROUP BY 1, 2
+      |  ) GROUP BY 1
+      |)""".stripMargin
+}

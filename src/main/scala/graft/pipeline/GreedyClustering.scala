@@ -14,8 +14,9 @@ import graft.engine._
   * component — embarrassingly parallel across components, no driver-side
   * iteration besides the CC loop. Components are bounded by the blocking
   * thresholds; `maxComponentSize` is the skew guard: oversized components
-  * are not greedily refined (kept as CC clusters) and reported via the
-  * `oversized` flag rather than stalling a single task for hours at scale.
+  * (glued by rare-shared-token hubs, e.g. nicknames) take the
+  * strong-edge-core + weak-edge-attachment path (Greedy.clusterGiant)
+  * instead of stalling a single task on an O(edges x profile) BFS.
   */
 object GreedyClustering {
 
@@ -23,7 +24,7 @@ object GreedyClustering {
       is_abbr: Boolean, is_before_dot: Boolean, name_part: String)
   final case class MentionRow(mention_id: Long, name: String, weight: Long,
       component_id: Long, toks: Seq[TokRow])
-  final case class EdgeRow(component_id: Long, src: Long, dst: Long)
+  final case class EdgeRow(component_id: Long, src: Long, dst: Long, common_cnt: Int)
   final case class AssignRow(mention_id: Long, cluster_id: Long)
 
   /** assignments(mention_id, name, weight, component_id, cluster_id):
@@ -33,14 +34,25 @@ object GreedyClustering {
       tokens: DataFrame,
       candidates: DataFrame,
       hierarchy: String = "soundex",
-      maxComponentSize: Int = 100000): DataFrame = {
+      /** Components above this size take the giant-component path
+        * (strong-edge cores + weak-edge attachment) instead of plain BFS. */
+      maxComponentSize: Int = 3000): DataFrame = {
     val spark = mentions.sparkSession
     import spark.implicits._
 
-    val cc = ConnectedComponents.assignments(mentions, candidates)
-      .select($"mention_id", $"name", $"weight", $"component_id")
+    // Materialize the expensive upstream stages once: `candidates` (the
+    // blocking self-join) feeds both the CC pre-pass and the edge list,
+    // and `mentions` is re-joined three times below. localCheckpoint cuts
+    // lineage so no action recomputes the shuffle (in the checkpointed
+    // Pipeline these arrive as parquet stages already).
+    val m = mentions.localCheckpoint()
+    val cand = candidates.localCheckpoint()
 
-    val mentionToks: Dataset[MentionRow] = tokens
+    val cc = ConnectedComponents.assignments(m, cand)
+      .select($"mention_id", $"name", $"weight", $"component_id")
+      .localCheckpoint()
+
+    val mentionToks: Dataset[MentionRow] = tokens.localCheckpoint()
       .groupBy($"mention_id")
       .agg(sort_array(collect_list(struct(
         $"mention_id", $"token", $"pos", $"is_abbr", $"is_before_dot", $"name_part"
@@ -50,11 +62,12 @@ object GreedyClustering {
       .as[MentionRow]
 
     val compOf = cc.select($"mention_id".as("src"), $"component_id")
-    val edges: Dataset[EdgeRow] = candidates
-      .select(least($"dst_id", $"org_id").as("src"), greatest($"dst_id", $"org_id").as("dst"))
-      .distinct()
+    val edges: Dataset[EdgeRow] = cand
+      .groupBy(least($"dst_id", $"org_id").as("src"),
+        greatest($"dst_id", $"org_id").as("dst"))
+      .agg(max($"common_cnt").cast("int").as("common_cnt"))
       .join(compOf, "src")
-      .select($"component_id", $"src", $"dst")
+      .select($"component_id", $"src", $"dst", $"common_cnt")
       .as[EdgeRow]
 
     val hier = hierarchy // avoid closing over `this`
@@ -69,11 +82,14 @@ object GreedyClustering {
               t.is_before_dot, NamePart.fromString(t.name_part))).toArray)
         }.toSeq
         val h = if (hier == "metaphone") Hierarchy.metaphone else Hierarchy.default
+        val edgeSeq = es.toSeq
         if (refs.size > maxSize) {
-          // skew guard: keep CC clustering for this pathological component
-          refs.iterator.map(r => AssignRow(r.id, -1L))
+          // skew guard: strong-edge core clustering + weak-edge attachment
+          Greedy.clusterGiant(refs,
+            edgeSeq.map(e => Greedy.Edge(e.src, e.dst, e.common_cnt)), h).iterator
+            .map { case (id, c) => AssignRow(id, c) }
         } else {
-          Greedy.cluster(refs, es.map(e => (e.src, e.dst)).toSeq, h).iterator
+          Greedy.cluster(refs, edgeSeq.map(e => (e.src, e.dst)), h).iterator
             .map { case (id, c) => AssignRow(id, c) }
         }
       }

@@ -72,6 +72,14 @@ object NamePools {
   val lastSuffix: Vector[String] = Vector(
     "", "son", "sen", "man", "berg", "ton", "field", "wood", "stein", "ford")
 
+  /** Second suffix layer: vowel-only endings (zero Soundex impact), giving
+    * 60 x 10 x 10 = 6000 distinct last names so homonym density stays in
+    * the reference corpora's band as the corpus scales (arXiv ~1
+    * entity/surname, DBLP ~3) instead of piling 25 entities per surname
+    * at sf0.1. */
+  val lastSuffix2: Vector[String] = Vector(
+    "", "a", "e", "i", "o", "u", "y", "ia", "io", "ea")
+
   /** token -> canonical nickname-group id (level-2 NCK element, analogue of
     * the reference's NICKNAME vertices, dao/vertex/V.java:25). Both the
     * formal name and its nickname map to the formal name's group. */

@@ -41,6 +41,7 @@ object Synth {
     val lArr = array(last.map(lit): _*)
     val pArr = array(misspellOfLast.map(lit): _*)
     val sArr = array(lastSuffix.map(lit): _*)
+    val s2Arr = array(lastSuffix2.map(lit): _*)
 
     spark.read.parquet(s"$sfDir/customer.parquet")
       .select($"c_custkey".as("k"))
@@ -51,7 +52,9 @@ object Synth {
       .withColumn("f", element_at(fArr, ($"h" % 40).cast("int") + 1))
       .withColumn("nick", element_at(nArr, ($"h" % 40).cast("int") + 1))
       .withColumn("mid", element_at(mArr, expr("cast(h div 40 as int) % 20") + 1))
-      .withColumn("suf", element_at(sArr, expr("cast(h div 48000 as int) % 10") + 1))
+      .withColumn("suf",
+        concat(element_at(sArr, expr("cast(h div 48000 as int) % 10") + 1),
+          element_at(s2Arr, expr("cast(h div 480000 as int) % 10") + 1)))
       .withColumn("l", concat(element_at(lArr, expr("cast(h div 800 as int) % 60") + 1), $"suf"))
       .withColumn("missp", concat(element_at(pArr, expr("cast(h div 800 as int) % 60") + 1), $"suf"))
       .withColumn("m", explode(sequence(lit(0), (lit(1) + $"k" % 3).cast("int"))))
@@ -173,13 +176,16 @@ object Synth {
     val fL = sqlList(first); val nL = sqlList(nickOfFirst)
     val mL = sqlList(middle); val lL = sqlList(last); val pL = sqlList(misspellOfLast)
     val sL = sqlList(lastSuffix)
+    val s2L = sqlList(lastSuffix2)
     s"""ent AS (
        |  SELECT c_custkey AS k,
        |         ($fL)[(h % 40)::INT + 1] AS f,
        |         ($nL)[(h % 40)::INT + 1] AS nick,
        |         ($mL)[((h // 40) % 20)::INT + 1] AS mid,
-       |         ($lL)[((h // 800) % 60)::INT + 1] || ($sL)[((h // 48000) % 10)::INT + 1] AS l,
-       |         ($pL)[((h // 800) % 60)::INT + 1] || ($sL)[((h // 48000) % 10)::INT + 1] AS missp
+       |         ($lL)[((h // 800) % 60)::INT + 1] || ($sL)[((h // 48000) % 10)::INT + 1]
+       |           || ($s2L)[((h // 480000) % 10)::INT + 1] AS l,
+       |         ($pL)[((h // 800) % 60)::INT + 1] || ($sL)[((h // 48000) % 10)::INT + 1]
+       |           || ($s2L)[((h // 480000) % 10)::INT + 1] AS missp
        |  FROM (SELECT c_custkey, (c_custkey * 2654435761) % 2147483647 AS h
        |        FROM customer)
        |),

@@ -24,11 +24,11 @@ class PhoneticsSpec extends AnyFunSuite {
     assert(soundex("") === "")
   }
 
-  test("every misspelling pair shares its soundex code, with every suffix") {
+  test("every misspelling pair shares its soundex code, with every suffix combo") {
     for (((l, p), i) <- NamePools.last.zip(NamePools.misspellOfLast).zipWithIndex
-         if l != p; suf <- NamePools.lastSuffix) {
-      assert(soundex(l + suf) === soundex(p + suf),
-        s"pool index $i: $l$suf vs $p$suf")
+         if l != p; s1 <- NamePools.lastSuffix; s2 <- NamePools.lastSuffix2) {
+      assert(soundex(l + s1 + s2) === soundex(p + s1 + s2),
+        s"pool index $i: $l$s1$s2 vs $p$s1$s2")
     }
   }
 
