@@ -302,6 +302,80 @@ object Queries {
         Canonicalize.ctes, Synth.goldMentionsCte))
     ),
 
+    // C-9: whole-name phonetic baseline clusterer
+    // (G.updateClustersToStringMatches, dao/G.java:306-316): cluster =
+    // min mention id per soundex(name) group. Not DuckDB-expressible
+    // (no soundex) -> rows-only; covered by unit fixtures.
+    "q_phonetic_baseline" -> (
+      ((s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
+        import org.apache.spark.sql.expressions.Window
+        mentions(s, dir)
+          .withColumn("code", expr("graft_soundex(regexp_replace(name, '[ .]', ''))"))
+          .withColumn("cluster_id",
+            min(col("mention_id")).over(Window.partitionBy(col("code"))))
+          .select(col("mention_id"), col("name"), col("weight"), col("code"),
+            col("cluster_id"))
+      }),
+      None
+    ),
+
+    // E-1 over the C-9 baseline.
+    "q_eval_phonetic" -> (
+      ((s: SparkSession, dir: String) =>
+        Evaluation.pairwiseF1(
+          SparkEntry.queries("q_phonetic_baseline")(s, dir),
+          Synth.goldMentions(s, dir))),
+      None
+    ),
+
+    // C-10: blocking recall ceiling (G.updateToMaxAchievableRecall,
+    // dao/G.java:246-266): collapse candidate edges restricted to
+    // same-gold pairs, then evaluate — the max recall any clusterer can
+    // reach on this candidate graph.
+    "q_eval_upper_bound" -> (
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        val gold = Synth.goldMentions(s, dir)
+        val m = mentions(s, dir)
+        val nameEnt = gold.select($"name", $"entity_id")
+          .join(m.select($"name", $"mention_id"), "name")
+        val sameGold = candidates(s, dir)
+          .join(nameEnt.select($"mention_id".as("dst_id"), $"entity_id".as("e1")), "dst_id")
+          .join(nameEnt.select($"mention_id".as("org_id"), $"entity_id".as("e2")), "org_id")
+          .filter($"e1" === $"e2")
+          .select($"dst_id", $"org_id")
+        Evaluation.pairwiseF1(
+          ConnectedComponents.assignments(m, sameGold), gold)
+      }),
+      None
+    ),
+
+    // E-3 analogue: the greedy pipeline under the Metaphone coder
+    // (phonetic-sensitivity harness, MainPhonics.java:14-27).
+    "q_eval_greedy_metaphone" -> (
+      ((s: SparkSession, dir: String) =>
+        Evaluation.pairwiseF1(
+          GreedyClustering.assignments(mentions(s, dir), tokens(s, dir),
+            candidates(s, dir), hierarchy = "metaphone"),
+          Synth.goldMentions(s, dir))),
+      None
+    ),
+
+    // Windowed turn aggregation with a bounded window (2 turns) — the
+    // windowTurns knob of the canonicalization contract.
+    "q_mention_docs_w2" -> (
+      ((s: SparkSession, dir: String) =>
+        Canonicalize.mentionDocs(transcripts(s, dir), windowTurns = 2)),
+      Some(withCtes(
+        """SELECT conv_id, window_start_turn, doc, n_turns FROM (
+          |  SELECT conv_id, (turn_idx // 2) * 2 AS window_start_turn,
+          |         string_agg(text, chr(10) ORDER BY turn_idx) AS doc,
+          |         count(*)::INT AS n_turns
+          |  FROM transcripts GROUP BY 1, 2
+          |)""".stripMargin))
+    ),
+
     // Stage 6: weighted pairwise F1 of CC clustering vs gold (E-1).
     "q_eval_cc" -> (
       ((s: SparkSession, dir: String) =>

@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full pipeline: synthesize transcripts -> canonicalize -> tokenize
+    * -> block -> CC -> greedy consistency clustering. */
   def entry(spark: SparkSession): DataFrame =
-    Queries.registry("q_transcripts")._1(spark, "/root/testdata/sf0.001")
+    Queries.registry("q_greedy_assignments")._1(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

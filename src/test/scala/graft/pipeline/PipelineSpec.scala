@@ -56,6 +56,16 @@ class PipelineSpec extends SparkSpec {
     assert(!cands.keys.exists { case (d, o) => d == o })
   }
 
+  test("prefix-filtered blocking is value-identical to the naive self-join") {
+    val t = Tokenize.tokens(Canonicalize.mentions(
+      graft.synth.Synth.transcripts(spark, "/root/testdata/sf0.001")))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"dst_id", $"org_id", $"common_cnt",
+        round($"sum_sim", 9), round($"self_sim", 9))
+      .as[(Long, Long, Int, Double, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(canon(Blocking.candidates(t)) === canon(Blocking.candidatesNaive(t)))
+  }
+
   test("connected components: labels, singletons, representative") {
     val m = mentionsDf(("a" -> 5L), ("b" -> 9L), ("c" -> 1L), ("d" -> 2L))
     val cand = Seq((1L, 2L), (2L, 3L)).toDF("dst_id", "org_id")
