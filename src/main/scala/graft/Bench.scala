@@ -190,7 +190,7 @@ object Bench {
          |
          || query | sec |
          || --- | --- |
-         |${qTimes.map { case (k, v) => s"| $k | ${f"$v%.3f"} |" }.mkString("\n")}
+         |${qTimes.map { case (k, v) => s"| $k | ${f"$v%.3f"} |" }.mkString("\n         |")}
          |
          |## Scaling over ${K}x-replicated input ($pairsScored scored pairs)
          |
