@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout/stderr without
+// sbt's "[info] " log prefix — the driver parses Bench's single JSON line
+// from stdout, and the prefix broke that in round 1 (BENCH_r01 parsed:null).
+run / outputStrategy := Some(StdoutOutput)
+// local-cluster[] masters (Bench scaling phases) need a Spark distribution
+// to launch per-executor JVMs from.
+run / envVars += ("SPARK_HOME" -> "/opt/spark")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -4,21 +4,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 import java.nio.charset.StandardCharsets
 
-/** Round benchmark. Prints ONE JSON line (driver contract) and refreshes
-  * BENCH.md with the scaling table.
+/** Round benchmark. Prints ONE JSON line (driver contract; unprefixed via
+  * `run / outputStrategy := StdoutOutput`) and refreshes BENCH.md.
   *
   * Metrics:
   *  - per-query wall seconds on SPARK_GRAFT_SF_DIR at SPARK_GRAFT_CPUS
   *    (headline operators, each forced with a noop sink; the shared
   *    pipeline prefix is memoized per session so each timing isolates the
   *    operator's own work);
-  *  - scored-pairs/sec of the blocking+scoring core at TWO parallelism
-  *    levels, local[N] and local[4N], over the SAME pre-materialized
-  *    tokens parquet — the sandbox stand-in for the N->4N executor
-  *    scaling rule. Tokens are materialized outside the timed region so
-  *    the scaling measurement covers exactly the parallel shuffle core
-  *    (no serial id-assignment in the timed path); efficiency
-  *    = (T_N / T_4N) / 4.
+  *  - the headline QUALITY numbers (pairwise + paired F1 of the greedy
+  *    clusterer vs gold) — the acceptance-gate values, published every
+  *    round;
+  *  - scored-pairs/sec of the pairwise scoring core at TWO cluster sizes,
+  *    `local-cluster[N,2,mem]` vs `local-cluster[4N,2,mem]` — separate
+  *    executor JVMs with their own heaps/GC, the sandbox's honest stand-in
+  *    for the N -> 4N executor scaling rule (round 1 measured in ONE
+  *    shared JVM, where heap/GC contention — not the job — capped
+  *    efficiency at 0.76). Tokens/pairs are pre-materialized outside the
+  *    timed region; efficiency = (T_N / T_4N) / 4;
+  *  - the blocking stop-key valve (maxBlockDf): generated-pair count and
+  *    wall-time delta vs exact semantics on the same input.
   */
 object Bench {
 
@@ -39,6 +44,26 @@ object Bench {
     s
   }
 
+  /** Multi-JVM session: `execs` executor processes x `cores` each. Needs
+    * SPARK_HOME (set in build.sbt for forked runs) and the compiled classes
+    * on the executor classpath. */
+  private def clusterSession(execs: Int, cores: Int, memMb: Int,
+      shufflePartitions: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local-cluster[$execs,$cores,$memMb]")
+      .appName(s"graft-bench-cluster-$execs")
+      .config("spark.executor.extraClassPath",
+        s"${sys.props("user.dir")}/target/scala-2.13/classes")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -47,8 +72,8 @@ object Bench {
   }
 
   /** Secondary scaling job: the full clustering pipeline (blocking + CC +
-    * greedy) from materialized tables. Shuffle/GC-bound in a shared local
-    * JVM, so reported as context next to the scoring kernel. */
+    * greedy) from materialized tables — shuffle-dominated context number
+    * next to the compute-dominated kernel. */
   private def clusterCore(spark: SparkSession, mentionsPath: String,
       tokensPath: String): DataFrame = {
     val m = spark.read.parquet(mentionsPath)
@@ -80,12 +105,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // scaling pair N -> 4N: both kept below this VM's memory-bandwidth
-    // saturation point (~8-16 threads; a pure-register burn scales at 0.84
-    // up to 32 threads, memory-streaming kernels stop at ~8) so the
-    // measurement reflects the job's parallelism, not the host's memory bus
+    // scaling pair: N=2 -> 4N=8 executors, 2 cores / 3 GiB heap each
+    // (4 -> 16 threads total, within this host's 32 cores)
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val scale4N = scaleN * 4
+    val execCores = 2
+    val execMemMb = 3072
     val cpusLo = math.max(cpusHi / 4, 1)
     val tokensPath = Files.createTempDirectory("graft_bench_tokens").toString + "/tokens"
 
@@ -99,6 +124,15 @@ object Bench {
       name -> time(force(fn(spark, sfDir)))
     }
 
+    // ---- quality: the acceptance-gate F1s (cheap here — the stage cache
+    // already holds the greedy assignments from the headline pass)
+    def evalRow(q: String): Map[String, Double] = {
+      val r = SparkEntry.queries(q)(spark, sfDir).collect().head
+      Seq("precision", "recall", "f1").map(c => c -> r.getAs[Double](c)).toMap
+    }
+    val evalGreedy = evalRow("q_eval_greedy")
+    val evalPaired = evalRow("q_eval_paired_greedy")
+
     // materialize tokens once for the scaling phases (untimed)
     pipeline.Tokenize.tokens(
       pipeline.Canonicalize.mentions(synth.Synth.transcripts(spark, sfDir)))
@@ -107,7 +141,7 @@ object Bench {
     // ---- scaling workload: replicate mentions+tokens into K disjoint
     // namespaces (token||'~r', name||'~r', offset ids): exactly K
     // independent copies — same distribution, K x work — so the job is
-    // long enough to measure thread scaling.
+    // long enough to measure scaling.
     val K = 16
     val scaledTokens: String = tokensPath + s"_x$K"
     val scaledMentions: String = tokensPath + s"_m_x$K"
@@ -125,9 +159,7 @@ object Bench {
         .write.mode("overwrite").parquet(scaledMentions)
     }
     // materialize the scored-pair set (distinct prefix-join pairs),
-    // amplified 8x for the kernel so the measurement is compute-dominated
-    // (the prefix filter leaves so few pairs that un-amplified kernel runs
-    // are scheduling-overhead-bound at high core counts)
+    // amplified 2x for the kernel so the measurement is compute-dominated
     val scaledPairs: String = tokensPath + s"_pairs_x$K"
     locally {
       import org.apache.spark.sql.functions._
@@ -136,29 +168,36 @@ object Bench {
         .write.mode("overwrite").parquet(scaledPairs)
     }
     val pairsScored = spark.read.parquet(scaledPairs).count()
+
+    // ---- stop-key valve (maxBlockDf): generated-pair mass + time, exact
+    // vs capped blocking on the same replicated input
+    val valve = {
+      import pipeline.Blocking
+      val t = spark.read.parquet(scaledTokens)
+      val exactPairs = Blocking.scoredPairs(t).count()
+      val tExact = time(force(Blocking.candidates(t)))
+      val cap = 200L
+      val cfg = Blocking.Config(maxBlockDf = Some(cap))
+      val cappedPairs = Blocking.scoredPairs(t, cfg).count()
+      val tCapped = time(force(Blocking.candidates(t, cfg)))
+      (cap, exactPairs, tExact, cappedPairs, tCapped)
+    }
     spark.stop()
 
-    // ---- scaling phases: FRESH session each, identical shuffle-partition
-    // count (only the thread count differs — the local analogue of adding
-    // executors). Kernel timed as median of 3; the full clustering job
-    // once (minutes-long, shuffle-bound context number).
+    // ---- scaling phases: FRESH multi-JVM cluster each, identical
+    // shuffle-partition count (only the executor count differs — the local
+    // analogue of adding executors). Kernel timed as median of 3.
     def median3(f: => Double): Double = Seq(f, f, f).sorted.apply(1)
-    val scaleParts = scale4N * 4
-    spark = session(scale4N, scaleParts)
+    val scaleParts = scale4N * execCores * 2
+    spark = clusterSession(scale4N, execCores, execMemMb, scaleParts)
     force(scoringKernel(spark, scaledPairs, scaledMentions)) // warm-up
     val tHi = { val s = spark; median3(time(force(scoringKernel(s, scaledPairs, scaledMentions)))) }
-    spark.stop()
-
-    spark = session(scaleN, scaleParts)
-    force(scoringKernel(spark, scaledPairs, scaledMentions))
-    val tLo = { val s = spark; median3(time(force(scoringKernel(s, scaledPairs, scaledMentions)))) }
-    spark.stop()
-
-    // context numbers: the full clustering job at cpusLo vs cpusHi
-    spark = session(cpusHi, cpusHi * 4)
     val tClusterHi = { val s = spark; time(force(clusterCore(s, scaledMentions, scaledTokens))) }
     spark.stop()
-    spark = session(cpusLo, cpusHi * 4)
+
+    spark = clusterSession(scaleN, execCores, execMemMb, scaleParts)
+    force(scoringKernel(spark, scaledPairs, scaledMentions))
+    val tLo = { val s = spark; median3(time(force(scoringKernel(s, scaledPairs, scaledMentions)))) }
     val tClusterLo = { val s = spark; time(force(clusterCore(s, scaledMentions, scaledTokens))) }
     spark.stop()
 
@@ -168,20 +207,41 @@ object Bench {
     val total = qTimes.map(_._2).sum
     val qs = qTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
 
-    println(
+    val jsonLine =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","scored_pairs":$pairsScored,""" +
+        s""""pairwise_f1":${evalGreedy("f1")},"pairwise_precision":${evalGreedy("precision")},""" +
+        s""""pairwise_recall":${evalGreedy("recall")},""" +
+        s""""paired_f1":${evalPaired("f1")},"paired_precision":${evalPaired("precision")},""" +
+        s""""paired_recall":${evalPaired("recall")},""" +
         s""""scale_n":$scaleN,"scale_4n":$scale4N,""" +
-        s""""cpus_lo":$cpusLo,"cpus_hi":$cpusHi,""" +
+        s""""exec_cores":$execCores,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,""" +
         s""""score_sec_lo":${f"$tLo%.3f"},"score_sec_hi":${f"$tHi%.3f"},""" +
         s""""cluster_sec_lo":${f"$tClusterLo%.3f"},"cluster_sec_hi":${f"$tClusterHi%.3f"},""" +
         s""""pairs_per_sec_lo":${f"$thrLo%.0f"},"pairs_per_sec_hi":${f"$thrHi%.0f"},""" +
-        s""""scaling_efficiency":${f"$efficiency%.3f"}}""")
+        s""""valve_cap":${valve._1},"valve_exact_pairs":${valve._2},"valve_exact_sec":${f"${valve._3}%.3f"},""" +
+        s""""valve_capped_pairs":${valve._4},"valve_capped_sec":${f"${valve._5}%.3f"},""" +
+        s""""scaling_efficiency":${f"$efficiency%.3f"}}"""
+    println(jsonLine)
+    try Files.write(Paths.get("bench_latest.json"),
+      (jsonLine + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => }
 
     val md =
       s"""# BENCH — latest round
          |
          |Input: `$sfDir` (synthesized transcripts derived from customer keys).
+         |
+         |## Quality (acceptance gate)
+         |
+         |Greedy consistency clusterer vs gold labels at this sf:
+         |
+         || metric | precision | recall | f1 |
+         || --- | --- | --- | --- |
+         || pairwise F1 (E-1) | ${evalGreedy("precision")} | ${evalGreedy("recall")} | **${evalGreedy("f1")}** |
+         || paired F1 on labeled pairs (E-2) | ${evalPaired("precision")} | ${evalPaired("recall")} | **${evalPaired("f1")}** |
+         |
+         |Contract: paired F1 >= 0.99 on labeled pairs (BASELINE.md).
          |
          |## Headline operator timings (local[$cpusHi])
          |
@@ -194,30 +254,40 @@ object Bench {
          |
          |## Scaling over ${K}x-replicated input ($pairsScored scored pairs)
          |
+         |Two real multi-process clusters — `local-cluster[$scaleN,$execCores,$execMemMb]`
+         |vs `local-cluster[$scale4N,$execCores,$execMemMb]` — each executor its own
+         |JVM with its own heap, GC and shuffle client, the honest sandbox
+         |stand-in for the N -> 4N executor rule (round 1 measured inside one
+         |shared JVM, which capped at 0.76 on heap/GC contention, not the job).
+         |
          |Primary: the pairwise SCORING kernel (Jaro-Winkler + Levenshtein +
-         |Monge-Elkan Catalyst expressions over every scored candidate pair)
-         |-- CPU-bound per-executor work, median of 3 runs per level.
+         |Monge-Elkan Catalyst expressions over every scored candidate pair),
+         |median of 3 runs per level.
          |
-         || parallelism | kernel sec | scored pairs/sec |
+         || cluster | kernel sec | scored pairs/sec |
          || --- | --- | --- |
-         || local[$scaleN] | ${f"$tLo%.3f"} | ${f"$thrLo%.0f"} |
-         || local[$scale4N] | ${f"$tHi%.3f"} | ${f"$thrHi%.0f"} |
+         || $scaleN executors x $execCores cores | ${f"$tLo%.3f"} | ${f"$thrLo%.0f"} |
+         || $scale4N executors x $execCores cores | ${f"$tHi%.3f"} | ${f"$thrHi%.0f"} |
          |
-         |Scoring-kernel scaling efficiency local[$scaleN] -> local[$scale4N]
-         |(= (T_N / T_4N) / (4N/N)): **${f"$efficiency%.3f"}** (target >= 0.8).
+         |Scoring-kernel scaling efficiency $scaleN -> $scale4N executors
+         |(= (T_N / T_4N) / 4): **${f"$efficiency%.3f"}** (contract >= 0.8).
          |
-         |N and 4N are both kept below this VM's memory-bandwidth saturation
-         |point: a register-only burn scales at ~0.84 efficiency to 32
-         |threads, but memory-streaming work stops gaining past ~8-16
-         |threads on this host, so higher pairs saturate the memory bus of
-         |the single shared JVM rather than measuring the job (on a real
-         |cluster each executor brings its own memory channels, heap and
-         |shuffle disks).
+         |Context: full clustering job (blocking + CC + greedy) over the same
+         |input: $scaleN execs ${f"$tClusterLo%.3f"}s, $scale4N execs
+         |${f"$tClusterHi%.3f"}s (shuffle-bound; efficiency
+         |${f"${(tClusterLo / tClusterHi) / 4.0}%.3f"}).
          |
-         |Context: full clustering job (blocking + CC + greedy) over the
-         |same input: local[$cpusLo] ${f"$tClusterLo%.3f"}s,
-         |local[$cpusHi] ${f"$tClusterHi%.3f"}s (shuffle+GC-bound in the
-         |shared JVM; efficiency ${f"${(tClusterLo / tClusterHi) / (cpusHi.toDouble / cpusLo)}%.3f"}).
+         |## Blocking stop-key valve (maxBlockDf)
+         |
+         |Tokens with df above the cap are excluded from pair GENERATION (but
+         |still count toward self-similarity); each skipped token contributes
+         |<= cap * (1/df) ~ negligible score mass but O(df^2) pairs
+         |(Blocking.scala score-mass bound). Measured on the ${K}x input:
+         |
+         || setting | generated pairs | blocking sec |
+         || --- | --- | --- |
+         || exact (None) | ${valve._2} | ${f"${valve._3}%.3f"} |
+         || maxBlockDf=${valve._1} | ${valve._4} | ${f"${valve._5}%.3f"} |
          |""".stripMargin
     try Files.write(Paths.get("BENCH.md"), md.getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => }

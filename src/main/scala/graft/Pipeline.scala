@@ -45,6 +45,7 @@ object Pipeline {
 
     val fp1 = CheckpointStore.fingerprint(fp0, "mentions")
     val mentions = timed("mentions", fp1)(Canonicalize.mentions(transcripts))
+    Canonicalize.assertUniqueIds(mentions) // hash-id collision guard
 
     val fp2 = CheckpointStore.fingerprint(fp1, "tokens")
     val tokens = timed("tokens", fp2)(Tokenize.tokens(mentions))

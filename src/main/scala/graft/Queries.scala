@@ -106,7 +106,8 @@ object Queries {
     ),
     "q_ann_topk" -> (
       ((s: SparkSession, dir: String) => Similarity.annTopK(embeddings(s, dir))),
-      None // LSH-bucketed variant of knn_brute; bucket recall fixture-tested
+      Some(rawCtes("SELECT vec_id, neighbor_id, cosine, rank FROM ann_topk",
+        Similarity.ctes))
     ),
 
     // ---- training-data ops: text analysis over `documents`.
@@ -348,7 +349,100 @@ object Queries {
         Evaluation.pairwiseF1(
           ConnectedComponents.assignments(m, sameGold), gold)
       }),
-      None
+      Some(withCtes(
+        "SELECT tp, fp, fn, precision, recall, f1 FROM pairwise_eval",
+        (pipelineCtes ++ Seq(Synth.goldMentionsCte,
+          """name_ent AS (
+            |  SELECT m.mention_id, g.entity_id
+            |  FROM mentions m JOIN gold_mentions g USING (name)
+            |),
+            |ub_cand AS (
+            |  SELECT c.dst_id, c.org_id
+            |  FROM candidates c
+            |  JOIN name_ent x1 ON c.dst_id = x1.mention_id
+            |  JOIN name_ent x2 ON c.org_id = x2.mention_id
+            |  WHERE x1.entity_id = x2.entity_id
+            |)""".stripMargin,
+          ConnectedComponents.ctesOver("ub_cand"),
+          Evaluation.ctes)): _*))
+    ),
+
+    // C-10a: gold-sanity clusterer (G.updateClustersToRealClusters,
+    // dao/G.java:228-238): cluster = first gold entity of the name (min
+    // for determinism) — the name-granularity ceiling of any clusterer.
+    "q_gold_clusters" -> (
+      ((s: SparkSession, dir: String) =>
+        mentions(s, dir).join(Synth.goldMentions(s, dir), "name")
+          .groupBy(col("mention_id"), col("name"), col("weight"))
+          .agg(min(col("entity_id")).as("cluster_id"))),
+      Some(withCtes(
+        """SELECT m.mention_id, m.name, m.weight, min(g.entity_id) AS cluster_id
+          |FROM mentions m JOIN gold_mentions g USING (name)
+          |GROUP BY 1, 2, 3""".stripMargin,
+        Canonicalize.ctes, Synth.goldMentionsCte))
+    ),
+    "q_eval_gold_sanity" -> (
+      ((s: SparkSession, dir: String) =>
+        Evaluation.pairwiseF1(
+          SparkEntry.queries("q_gold_clusters")(s, dir),
+          Synth.goldMentions(s, dir))),
+      Some(withCtes(
+        "SELECT tp, fp, fn, precision, recall, f1 FROM pairwise_eval",
+        Canonicalize.ctes, Synth.goldMentionsCte,
+        """assignments AS (
+          |  SELECT m.mention_id, m.name, m.weight, min(g.entity_id) AS cluster_id
+          |  FROM mentions m JOIN gold_mentions g USING (name)
+          |  GROUP BY 1, 2, 3
+          |)""".stripMargin,
+        Evaluation.ctes))
+    ),
+
+    // C-10b: paired recall ceiling (G.updateToMaxAchievableRecallPairwise,
+    // dao/G.java:276-304): a labeled positive pair is achievable iff its
+    // mentions share a candidate-graph connected component.
+    "q_recall_ceiling_paired" -> (
+      ((s: SparkSession, dir: String) => {
+        val cc = ccAssignments(s, dir)
+        Synth.goldPairs(s, dir).filter(col("label") === 1)
+          .join(cc.select(col("mention_id").as("id1"), col("component_id").as("comp1")), "id1")
+          .join(cc.select(col("mention_id").as("id2"), col("component_id").as("comp2")), "id2")
+          .agg(
+            sum(when(col("comp1") === col("comp2"), 1L).otherwise(0L)).as("achievable"),
+            count(lit(1)).as("total"))
+          .select(col("achievable"), col("total"),
+            round(col("achievable") / col("total"), 6).as("ratio"))
+      }),
+      Some(withCtes(
+        """SELECT achievable, total, round(achievable / total, 6) AS ratio FROM (
+          |  SELECT sum(CASE WHEN a1.component_id = a2.component_id
+          |                  THEN 1 ELSE 0 END)::BIGINT AS achievable,
+          |         count(*) AS total
+          |  FROM gold_pairs g
+          |  JOIN assignments a1 ON g.id1 = a1.mention_id
+          |  JOIN assignments a2 ON g.id2 = a2.mention_id
+          |  WHERE g.label = 1)""".stripMargin,
+        (ccCtes ++ Seq(Synth.goldMentionsCte, Synth.goldPairsCte)): _*))
+    ),
+
+    // A-5: corpus statistics (analysis/Stats.java:8-17).
+    "q_corpus_stats" -> (
+      ((s: SparkSession, dir: String) => {
+        val a = mentions(s, dir).agg(
+          sum(col("weight")).cast("long").as("n_mention_occurrences"),
+          count(lit(1)).as("n_distinct_names"))
+        val b = Synth.goldMentions(s, dir)
+          .groupBy(col("entity_id")).agg(count(lit(1)).as("n_forms"))
+          .agg(count(lit(1)).as("n_entities"),
+            sum(when(col("n_forms") > 1, 1L).otherwise(0L)).as("n_entities_multi_form"))
+        a.crossJoin(b)
+      }),
+      Some(withCtes(
+        """SELECT (SELECT sum(weight) FROM mentions)::BIGINT AS n_mention_occurrences,
+          |       (SELECT count(*) FROM mentions) AS n_distinct_names,
+          |       (SELECT count(DISTINCT entity_id) FROM gold_mentions) AS n_entities,
+          |       (SELECT count(*)::BIGINT FROM (SELECT entity_id FROM gold_mentions
+          |          GROUP BY 1 HAVING count(*) > 1)) AS n_entities_multi_form""".stripMargin,
+        Canonicalize.ctes, Synth.goldMentionsCte))
     ),
 
     // E-3 analogue: the greedy pipeline under the Metaphone coder
@@ -358,6 +452,17 @@ object Queries {
         Evaluation.pairwiseF1(
           GreedyClustering.assignments(mentions(s, dir), tokens(s, dir),
             candidates(s, dir), hierarchy = "metaphone"),
+          Synth.goldMentions(s, dir))),
+      None
+    ),
+
+    // E-3: the same harness under the NYSIIS coder (`nys` variant,
+    // MainPhonics.java:16-23).
+    "q_eval_greedy_nysiis" -> (
+      ((s: SparkSession, dir: String) =>
+        Evaluation.pairwiseF1(
+          GreedyClustering.assignments(mentions(s, dir), tokens(s, dir),
+            candidates(s, dir), hierarchy = "nysiis"),
           Synth.goldMentions(s, dir))),
       None
     ),

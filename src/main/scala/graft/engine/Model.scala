@@ -111,11 +111,14 @@ final class Hierarchy(
 }
 
 object Hierarchy {
-  /** Default: Soundex coder + the shared nickname groups. */
-  def default: Hierarchy =
+  /** Default: Soundex coder + the shared nickname groups. One instance per
+    * JVM (executor) — hot loops must not rebuild the nickname map per row. */
+  lazy val default: Hierarchy =
     new Hierarchy(Phonetics.soundex, graft.synth.NamePools.nicknameGroup)
-  def metaphone: Hierarchy =
+  lazy val metaphone: Hierarchy =
     new Hierarchy(s => Phonetics.metaphone(s), graft.synth.NamePools.nicknameGroup)
+  lazy val nysiis: Hierarchy =
+    new Hierarchy(s => Phonetics.nysiis(s), graft.synth.NamePools.nicknameGroup)
 }
 
 /** ClusterProfile.Entry (ClusterProfile.java:146-232); identity equality

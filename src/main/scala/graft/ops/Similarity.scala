@@ -129,5 +129,25 @@ object Similarity {
       |    FROM embeddings e, plane_weights w
       |    GROUP BY 1, 2, 3
       |  ) GROUP BY 1, 2
+      |),
+      |ann_cand AS (
+      |  SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS neighbor_id
+      |  FROM lsh_sigs x JOIN lsh_sigs y ON x.t = y.t AND x.sig = y.sig
+      |  WHERE x.vec_id <> y.vec_id
+      |),
+      |ann_topk AS (
+      |  SELECT vec_id, neighbor_id, cosine, rank::INT AS rank FROM (
+      |    SELECT c.vec_id, c.neighbor_id,
+      |           round(list_sum([ (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)
+      |                            FOR i IN generate_series(1, len(a.embedding)) ])
+      |                 / (a.nrm * b.nrm), 6) AS cosine,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY round(list_sum([ (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)
+      |                            FOR i IN generate_series(1, len(a.embedding)) ])
+      |                 / (a.nrm * b.nrm), 6) DESC, c.neighbor_id ASC) AS rank
+      |    FROM ann_cand c
+      |    JOIN emb a ON c.vec_id = a.vec_id
+      |    JOIN emb b ON c.neighbor_id = b.vec_id
+      |  ) WHERE rank <= 5
       |)""".stripMargin
 }

@@ -87,21 +87,23 @@ object TextDedup {
       .select(col("a"), col("b"), col("inter_cnt"), col("a_cnt"), col("b_cnt"), col("jaccard"))
   }
 
-  /** 32-bit SimHash fingerprints: (doc_id, simhash). */
+  /** 32-bit SimHash fingerprints: (doc_id, simhash). Single pass: one
+    * aggregate with 32 per-bit counter columns (map-side partial agg, no
+    * 32x row expansion), then the fingerprint is folded from the counters. */
   def simhash(documents: DataFrame): DataFrame = {
     val words = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .withColumn("h", h32(col("word")))
+    val bitSums = (0 until 32).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
     words
-      .crossJoin(words.sparkSession.range(32).toDF("b"))
-      .withColumn("contrib",
-        when(expr("(h >> cast(b as int)) & 1") === 1, 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("contrib")).as("s"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, cast(b as int))")).otherwise(0L))
-        .as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", (0 until 32)
+        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _))
+      .select(col("doc_id"), col("simhash"))
   }
 
   // ---------------------------------------------------------------- oracle

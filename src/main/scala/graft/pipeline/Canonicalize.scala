@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Stage 1 — canonicalization: windowed turn aggregation of transcripts into
   * entity-mention documents, then the mention (REFERENCE-vertex) table.
@@ -12,10 +11,9 @@ import org.apache.spark.sql.expressions.Window
   * occurrence count of the exact surface (dao/vertex/V.java:63).
   *
   * Scale notes: every transform groups by `conv_id` or `name` — a single
-  * hash-partitioned shuffle each, no window over an unpartitioned frame
-  * except the dense `mention_id` assignment, which is verification-surface
-  * only (at production scale the pipeline joins on the `name` string key —
-  * see Blocking — so the global row_number is never on the hot path).
+  * hash-partitioned shuffle each, no window over an unpartitioned frame:
+  * the `mention_id` is a parallel hash of the surface, so no stage in this
+  * file has a single-task bottleneck at any scale.
   */
 object Canonicalize {
 
@@ -46,15 +44,31 @@ object Canonicalize {
       .select(col("conv_id"), col("turn_idx"),
         explode(expr(s"regexp_extract_all(text, '${mentionRegex.replace("\\", "\\\\")}', 1)")).as("name"))
 
-  /** The mention (reference) table: distinct surface + corpus weight +
-    * dense id. The id is deterministic (row_number over name order) so the
-    * DuckDB oracle reproduces it exactly. */
+  /** The mention (reference) table: distinct surface + corpus weight + a
+    * deterministic id.
+    *
+    * The id is the top 60 bits of md5(name) — embarrassingly parallel (no
+    * global sort / single-task row_number stage, which was the
+    * driver-adjacent bottleneck at billions of distinct surfaces) and
+    * reproducible bit-for-bit in the DuckDB oracle. Collision odds at
+    * n distinct names are ~n^2/2^61 (≈3e-5 at n=10^7); a production run
+    * over billions of names must extend to the full 128-bit digest —
+    * [[assertUniqueIds]] is the guard and is exercised by Pipeline and the
+    * test suite. */
   def mentions(transcripts: DataFrame): DataFrame =
     mentionEvents(transcripts)
       .groupBy(col("name"))
       .agg(count(lit(1)).as("weight"))
       .withColumn("mention_id",
-        row_number().over(Window.orderBy(col("name"))).cast("long"))
+        conv(substring(md5(col("name")), 1, 15), 16, 10).cast("long"))
+
+  /** Raises if the hash id collides (distinct names must map 1:1 to ids). */
+  def assertUniqueIds(mentions: DataFrame): Unit = {
+    val dupes = mentions.groupBy(col("mention_id"))
+      .count().filter(col("count") > 1).count()
+    if (dupes > 0)
+      sys.error(s"mention_id hash collision on $dupes ids — widen the id digest")
+  }
 
   // ---------------------------------------------------------------- oracle
 
@@ -74,7 +88,7 @@ object Canonicalize {
       |),
       |mentions AS (
       |  SELECT name, count(*) AS weight,
-      |         row_number() OVER (ORDER BY name) AS mention_id
+      |         ('0x' || substr(md5(name), 1, 15))::BIGINT AS mention_id
       |  FROM mention_events GROUP BY name
       |)""".stripMargin
 }

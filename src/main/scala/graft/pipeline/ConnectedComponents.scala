@@ -25,7 +25,14 @@ object ConnectedComponents {
 
   /** edges: (src, dst) undirected pair per surviving candidate (any
     * direction). Returns (id, component) for every node appearing in
-    * edges; component = min node id reachable. */
+    * edges; component = min node id reachable.
+    *
+    * Each round does min-label propagation over edges PLUS a pointer-jump
+    * (label <- label(label), well-defined because labels only ever take
+    * node-id values and only decrease), which halves the remaining
+    * label-chain depth — O(log diameter) rounds, so a 10^6-hop chain
+    * converges in ~20 rounds instead of 10^6. Raises instead of silently
+    * returning wrong labels if the cap is somehow hit. */
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -42,10 +49,14 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels
+      val prop = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      val next = prop
+        .join(prop.select(col("id").as("label"), col("label").as("jump")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("jump"), col("label")).as("label"))
         .localCheckpoint()
       val changed = next.as("n")
         .join(labels.withColumnRenamed("label", "old"), "id")
@@ -54,6 +65,9 @@ object ConnectedComponents {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      sys.error(s"ConnectedComponents: not converged after $maxIter rounds " +
+        "(component diameter > 2^maxIter is impossible, so this indicates a bug)")
     labels.withColumnRenamed("label", "component")
   }
 
@@ -85,11 +99,15 @@ object ConnectedComponents {
   /** DuckDB CTEs computing the same assignment via a recursive reachability
     * closure (sound for oracle scale; the Spark side is the scalable loop).
     * Append after Blocking.ctes. */
-  val ctes: String =
-    """cc_edges AS (
+  val ctes: String = ctesOver("candidates")
+
+  /** Same CTE chain parameterized on the (dst_id, org_id) edge source table
+    * — reused by the upper-bound oracle over gold-restricted edges. */
+  def ctesOver(edgesFrom: String): String =
+    s"""cc_edges AS (
       |  SELECT DISTINCT least(dst_id, org_id) AS src,
       |                  greatest(dst_id, org_id) AS dst
-      |  FROM candidates
+      |  FROM $edgesFrom
       |),
       |cc_sym AS (
       |  SELECT src, dst FROM cc_edges

@@ -13,16 +13,21 @@ import graft.engine._
   *    run the EXACT reference BFS per component (embarrassingly parallel
   *    across components);
   *  - oversized components (glued by rare-shared-token hubs, e.g.
-  *    nicknames — SURVEY.md §7.5) are re-partitioned by their STRONG-edge
-  *    (2-common-token) sub-components, each clustered with the exact
-  *    engine in parallel; the remaining weak-edge-only refs (nickname /
-  *    initial forms) are then attached in a fully parallel join-based
-  *    pass: each loner is tested with the same consistency engine against
-  *    the serialized final profiles of its weak-adjacent core clusters in
-  *    deterministic priority order. Attachment does not mutate profiles
-  *    (no cross-loner chaining inside giant components) — the documented
-  *    deviation that makes the giant path shuffle-parallel at any scale;
-  *    small components keep bit-exact reference semantics.
+  *    nicknames — SURVEY.md §7.5) run a three-phase parallel scheme:
+  *    (1) STRONG-edge (2-common-token) sub-components are each clustered
+  *    with the exact engine in parallel; (2) refs left in singleton
+  *    clusters (weak-edge-only forms: nicknames, single initials,
+  *    misspellings) form their own weak-edge sub-components, each again
+  *    clustered with the exact engine — so matching loner pairs/chains
+  *    merge exactly as the reference BFS would; (3) remaining singletons
+  *    are attached to adjacent multi-ref clusters in up to `attachRounds`
+  *    parallel rounds, testing the same consistency engine against
+  *    serialized cluster profiles in the reference's priority order and
+  *    folding each round's attachments back into the profiles so later
+  *    rounds ride earlier ones. The batching of profile mutation per round
+  *    (instead of per ref) is the one documented deviation that makes the
+  *    giant path shuffle-parallel at any scale; small components keep
+  *    bit-exact reference semantics.
   */
 object GreedyClustering {
 
@@ -38,10 +43,37 @@ object GreedyClustering {
       profile: Seq[EntryRow])
   final case class LonerWork(loner: MentionRow,
       cands: Seq[(Long, Seq[EntryRow], (Int, Int, Long, Long))])
+  final case class ProfRow(cluster_id: Long, profile: Seq[EntryRow])
+  final case class AttachToks(cluster_id: Long, mention_id: Long,
+      weight: Long, toks: Seq[TokRow])
 
   private def toToks(m: MentionRow): Array[Tok] =
     m.toks.sortBy(_.pos).map(t => new Tok(t.token, t.pos, t.is_abbr,
       t.is_before_dot, NamePart.fromString(t.name_part))).toArray
+
+  private def toToksRows(rows: Seq[TokRow]): Array[Tok] =
+    rows.sortBy(_.pos).map(t => new Tok(t.token, t.pos, t.is_abbr,
+      t.is_before_dot, NamePart.fromString(t.name_part))).toArray
+
+  /** The reference's seed/visit order key (MessagePassing.java:158-162). */
+  private def prioOfToks(toks: Seq[TokRow], weight: Long, id: Long): (Int, Int, Long, Long) =
+    (toks.length, toks.count(_.is_abbr), -weight, id)
+
+  /** Exact reference BFS per component via typed cogroup; emits each ref's
+    * cluster and, on the seed row, the cluster's final profile. */
+  private def exactCluster(ms: Dataset[MentionRow], es: Dataset[EdgeRow],
+      hier: String): Dataset[CoreOut] = {
+    import ms.sparkSession.implicits._
+    ms.groupByKey(_.component_id)
+      .cogroup(es.groupByKey(_.component_id)) { (_, mi, ei) =>
+        val refs = mi.map(r => Greedy.Ref(r.mention_id, r.name, r.weight, toToks(r))).toSeq
+        val (assign, profiles, _) =
+          Greedy.clusterCore(refs, ei.map(e => (e.src, e.dst)).toSeq, hierOf(hier))
+        assign.iterator.map { case (id, c) =>
+          CoreOut(id, c, if (id == c) toEntryRows(profiles(c)) else Seq.empty)
+        }
+      }
+  }
 
   private def toEntryRows(p: ClusterProfile): Seq[EntryRow] =
     p.entries.map(e => EntryRow(e.element.value, e.isAbbr, e.isBeforeDot,
@@ -53,8 +85,11 @@ object GreedyClustering {
         ElementKey(1, 'T', r.token), r.is_abbr, r.is_before_dot,
         r.name_part, r.ord))))
 
-  private def hierOf(name: String): Hierarchy =
-    if (name == "metaphone") Hierarchy.metaphone else Hierarchy.default
+  private def hierOf(name: String): Hierarchy = name match {
+    case "metaphone" => Hierarchy.metaphone
+    case "nysiis" => Hierarchy.nysiis
+    case _ => Hierarchy.default
+  }
 
   /** assignments(mention_id, name, weight, component_id, cluster_id):
     * cluster_id = BFS-seed mention of the consistency clusterer. */
@@ -63,7 +98,8 @@ object GreedyClustering {
       tokens: DataFrame,
       candidates: DataFrame,
       hierarchy: String = "soundex",
-      maxComponentSize: Int = 3000): DataFrame = {
+      maxComponentSize: Int = 3000,
+      attachRounds: Int = 3): DataFrame = {
     val spark = mentions.sparkSession
     import spark.implicits._
 
@@ -132,76 +168,154 @@ object GreedyClustering {
       .join(coreCompDf.withColumnRenamed("mention_id", "src"), "src")
       .select($"core_comp", $"src", $"dst", $"common_cnt")
 
-    val coreOut: Dataset[CoreOut] = bigWithCore
-      .select($"mention_id", $"name", $"weight", $"core_comp".as("component_id"), $"toks")
-      .as[MentionRow]
-      .groupByKey(_.component_id)
-      .cogroup(strongByCore
+    val coreOut = exactCluster(
+      bigWithCore
+        .select($"mention_id", $"name", $"weight", $"core_comp".as("component_id"), $"toks")
+        .as[MentionRow],
+      strongByCore
         .select($"core_comp".as("component_id"), $"src", $"dst",
           $"common_cnt".cast("int").as("common_cnt"))
-        .as[EdgeRow].groupByKey(_.component_id)) { (_, ms, es) =>
-        val refs = ms.map(r => Greedy.Ref(r.mention_id, r.name, r.weight, toToks(r))).toSeq
-        val (assign, profiles, _) =
-          Greedy.clusterCore(refs, es.map(e => (e.src, e.dst)).toSeq, hierOf(hier))
-        assign.iterator.map { case (id, c) =>
-          CoreOut(id, c, if (id == c) toEntryRows(profiles(c)) else Seq.empty)
-        }
-      }
+        .as[EdgeRow],
+      hier)
     val coreOutDf = coreOut.toDF().localCheckpoint()
 
-    val clusterSizes = coreOutDf.groupBy($"cluster_id").count()
-    val profiles = coreOutDf.filter($"mention_id" === $"cluster_id")
+    // running state: assignment (mention -> cluster) and per-cluster final
+    // profiles (seed rows carry them)
+    var assignDf = coreOutDf.select($"mention_id", $"cluster_id")
+    var profilesDf = coreOutDf.filter($"mention_id" === $"cluster_id")
       .select($"cluster_id", $"profile")
 
-    // loners: singleton core clusters; candidates: weak-adjacent clusters
-    val loners = coreOutDf.join(clusterSizes.filter($"count" === 1), "cluster_id")
-      .select($"mention_id")
-    val weakAdj = bigEdges.toDF()
-      .select(explode(array(
-        struct($"src".as("a"), $"dst".as("b")),
-        struct($"dst".as("a"), $"src".as("b")))).as("e"))
-      .select($"e.a".as("loner_id"), $"e.b".as("nbr"))
-      .join(loners.withColumnRenamed("mention_id", "loner_id"), "loner_id")
-      .join(coreOutDf.select($"mention_id".as("nbr"), $"cluster_id"), "nbr")
-      .filter($"cluster_id" =!= $"loner_id")
-    // neighbor priority for deterministic attachment order
-    val nbrPrio = bigMentions.toDF().select($"mention_id".as("nbr"),
-      size($"toks").as("p1"),
-      expr("size(filter(toks, t -> t.is_abbr))").as("p2"),
-      (-$"weight").as("p3"), $"mention_id".as("p4"))
-    val lonerCands = weakAdj.join(nbrPrio, "nbr")
-      .groupBy($"loner_id", $"cluster_id")
-      .agg(min(struct($"p1", $"p2", $"p3", $"p4")).as("prio"))
-      .join(profiles, "cluster_id")
-      .select($"loner_id", $"cluster_id", $"prio", $"profile")
+    // ---- phase 2: loner-loner chaining. Refs left in singleton clusters
+    // form weak-edge sub-components of their own (e.g. shared-nickname
+    // groups); run the EXACT engine per sub-component so matching loner
+    // pairs/chains cluster just as the reference BFS would (round 1 left
+    // them all singletons — the measured recall gap). Oversized loner
+    // components fall through to the attachment rounds below.
+    locally {
+      val sizes = assignDf.groupBy($"cluster_id").count()
+      val singles = assignDf.join(sizes.filter($"count" === 1), "cluster_id")
+        .select($"mention_id").localCheckpoint()
+      val lonerEdges = bigEdges.toDF()
+        .join(singles.withColumnRenamed("mention_id", "src"), "src")
+        .join(singles.withColumnRenamed("mention_id", "dst"), "dst")
+        .localCheckpoint()
+      val lonerComp = ConnectedComponents.run(lonerEdges.select($"src", $"dst"))
+        .withColumnRenamed("id", "mention_id")
+        .withColumnRenamed("component", "loner_comp")
+      val compSizes = lonerComp.groupBy($"loner_comp").count()
+        .filter($"count" <= maxComponentSize).select($"loner_comp")
+      val boundedComp = lonerComp.join(compSizes, "loner_comp").localCheckpoint()
+      val lonerMentions = bigMentions.toDF().drop("component_id")
+        .join(boundedComp, "mention_id")
+        .select($"mention_id", $"name", $"weight", $"loner_comp".as("component_id"), $"toks")
+        .as[MentionRow]
+      val lonerEdgesByComp = lonerEdges
+        .join(boundedComp.withColumnRenamed("mention_id", "src"), "src")
+        .select($"loner_comp".as("component_id"), $"src", $"dst",
+          $"common_cnt".cast("int").as("common_cnt"))
+        .as[EdgeRow]
+      val lonerOut = exactCluster(lonerMentions, lonerEdgesByComp, hier)
+        .toDF().localCheckpoint()
+      val lonerIds = lonerOut.select($"mention_id")
+      assignDf = assignDf.join(lonerIds, Seq("mention_id"), "left_anti")
+        .unionByName(lonerOut.select($"mention_id", $"cluster_id"))
+      profilesDf = profilesDf
+        .join(lonerIds.withColumnRenamed("mention_id", "cluster_id"),
+          Seq("cluster_id"), "left_anti")
+        .unionByName(lonerOut.filter($"mention_id" === $"cluster_id")
+          .select($"cluster_id", $"profile"))
+    }
 
-    val lonerAssigns: Dataset[AssignRow] = bigMentions
-      .joinWith(lonerCands, bigMentions("mention_id") === lonerCands("loner_id"))
-      .groupByKey(_._1.mention_id)
-      .mapGroups { (_, it) =>
-        val rows = it.toSeq
-        val m0 = rows.head._1
-        val h = hierOf(hier)
-        val toks = toToks(m0).toSeq
-        val ordered = rows.map(_._2)
-          .sortBy(r => (r.getStruct(2).getInt(0), r.getStruct(2).getInt(1),
-            r.getStruct(2).getLong(2), r.getStruct(2).getLong(3)))
-        val chosen = ordered.iterator.map { r =>
-          val prof = fromEntryRows(r.getSeq[org.apache.spark.sql.Row](3)
-            .map(x => EntryRow(x.getString(0), x.getBoolean(1), x.getBoolean(2),
-              x.getInt(3), x.getInt(4))))
-          val res = prof.matchRef(h, toks)
-          if (res.isConsistent || res.canBecomeConsistent) Some(r.getLong(1))
-          else None
-        }.collectFirst { case Some(c) => c }
-        AssignRow(m0.mention_id, chosen.getOrElse(m0.mention_id))
+    // ---- phase 3: attachment rounds. Remaining singleton refs are tested
+    // against the final profiles of adjacent multi-ref clusters in the
+    // reference's priority order; after each round the attached refs are
+    // merged into their cluster's profile (deterministic priority order),
+    // so later rounds can ride earlier attachments — the parallel-batched
+    // analogue of the reference BFS's incremental profile growth.
+    var round = 0
+    var done = false
+    while (round < attachRounds && !done) {
+      assignDf = assignDf.localCheckpoint()
+      profilesDf = profilesDf.localCheckpoint()
+      val sizes = assignDf.groupBy($"cluster_id").count().localCheckpoint()
+      val singles = assignDf.join(sizes.filter($"count" === 1), "cluster_id")
+        .select($"mention_id")
+      val multiClusters = sizes.filter($"count" > 1).select($"cluster_id")
+      val adj = bigEdges.toDF()
+        .select(explode(array(
+          struct($"src".as("a"), $"dst".as("b")),
+          struct($"dst".as("a"), $"src".as("b")))).as("e"))
+        .select($"e.a".as("loner_id"), $"e.b".as("nbr"))
+        .join(singles.withColumnRenamed("mention_id", "loner_id"), "loner_id")
+        .join(assignDf.select($"mention_id".as("nbr"), $"cluster_id"), "nbr")
+        .join(multiClusters, "cluster_id")
+        .filter($"cluster_id" =!= $"loner_id")
+      val nbrPrio = bigMentions.toDF().select($"mention_id".as("nbr"),
+        size($"toks").as("p1"),
+        expr("size(filter(toks, t -> t.is_abbr))").as("p2"),
+        (-$"weight").as("p3"), $"mention_id".as("p4"))
+      val lonerCands = adj.join(nbrPrio, "nbr")
+        .groupBy($"loner_id", $"cluster_id")
+        .agg(min(struct($"p1", $"p2", $"p3", $"p4")).as("prio"))
+        .join(profilesDf, "cluster_id")
+        .select($"loner_id", $"cluster_id", $"prio", $"profile")
+
+      val attach: Dataset[AssignRow] = bigMentions
+        .joinWith(lonerCands, bigMentions("mention_id") === lonerCands("loner_id"))
+        .groupByKey(_._1.mention_id)
+        .flatMapGroups { (_, it) =>
+          val rows = it.toSeq
+          val m0 = rows.head._1
+          val h = hierOf(hier)
+          val toks = toToks(m0).toSeq
+          val ordered = rows.map(_._2)
+            .sortBy(r => (r.getStruct(2).getInt(0), r.getStruct(2).getInt(1),
+              r.getStruct(2).getLong(2), r.getStruct(2).getLong(3)))
+          val chosen = ordered.iterator.map { r =>
+            val prof = fromEntryRows(r.getSeq[org.apache.spark.sql.Row](3)
+              .map(x => EntryRow(x.getString(0), x.getBoolean(1), x.getBoolean(2),
+                x.getInt(3), x.getInt(4))))
+            val res = prof.matchRef(h, toks)
+            if (res.isConsistent || res.canBecomeConsistent) Some(r.getLong(1))
+            else None
+          }.collectFirst { case Some(c) => c }
+          chosen.iterator.map(c => AssignRow(m0.mention_id, c))
+        }
+      val attachDf = attach.toDF().localCheckpoint()
+      if (attachDf.isEmpty) done = true
+      else {
+        assignDf = assignDf
+          .join(attachDf.select($"mention_id"), Seq("mention_id"), "left_anti")
+          .unionByName(attachDf)
+        // fold the attached refs into their clusters' profiles
+        val attachToks = attachDf
+          .join(bigMentions.toDF().select($"mention_id", $"weight", $"toks"), "mention_id")
+          .select($"cluster_id", $"mention_id", $"weight", $"toks")
+          .as[AttachToks]
+        val profs = profilesDf.as[ProfRow]
+        profilesDf = profs.groupByKey(_.cluster_id)
+          .cogroup(attachToks.groupByKey(_.cluster_id)) { (k, ps, as) =>
+            val pSeq = ps.toSeq
+            if (pSeq.isEmpty) Iterator.empty
+            else {
+              val aSeq = as.toSeq
+              if (aSeq.isEmpty) Iterator.single(ProfRow(k, pSeq.head.profile))
+              else {
+                val h = hierOf(hier)
+                val prof = fromEntryRows(pSeq.head.profile)
+                for (a <- aSeq.sortBy(x => prioOfToks(x.toks, x.weight, x.mention_id))) {
+                  val res = prof.matchRef(h, toToksRows(a.toks).toSeq)
+                  if (res.isConsistent || res.canBecomeConsistent) prof.merge(res)
+                }
+                Iterator.single(ProfRow(k, toEntryRows(prof)))
+              }
+            }
+          }.toDF()
       }
+      round += 1
+    }
 
-    val attachedIds = lonerAssigns.toDF().select($"mention_id").localCheckpoint()
-    val bigAssigns = coreOutDf
-      .join(attachedIds, Seq("mention_id"), "left_anti")
-      .select($"mention_id", $"cluster_id").as[AssignRow]
-      .union(lonerAssigns)
+    val bigAssigns = assignDf.as[AssignRow]
 
     val all = smallAssigns.toDF().unionByName(bigAssigns.toDF())
     cc.join(all, "mention_id")

@@ -84,7 +84,10 @@ object SimGraph {
     candidates.select($"dst_id", $"org_id", $"common_cnt")
       .join(d, "dst_id").join(o, "org_id")
       .as[Pair]
-      .map { p =>
+      .mapPartitions { it =>
+        // hoisted per-partition: the hierarchy (JVM-wide lazy val) and one
+        // scratch df map reused across rows — the per-row allocations here
+        // were the slowest headline stage in round 1
         val h = Hierarchy.default
         val df = collection.mutable.HashMap.empty[ElementKey, Long]
         def add(ks: Seq[String], vs: Seq[String], ds: Seq[Long]): Unit = {
@@ -95,9 +98,12 @@ object SimGraph {
             i += 1
           }
         }
-        add(p.dkinds, p.dvalues, p.ddfs); add(p.okinds, p.ovalues, p.odfs)
-        val s = BiDirectional.sim(h, p.otoks, p.dtoks, df)
-        (p.dst_id, p.org_id, p.common_cnt, s)
+        it.map { p =>
+          df.clear()
+          add(p.dkinds, p.dvalues, p.ddfs); add(p.okinds, p.ovalues, p.odfs)
+          val s = BiDirectional.sim(h, p.otoks, p.dtoks, df)
+          (p.dst_id, p.org_id, p.common_cnt, s)
+        }
       }
       .toDF("dst_id", "org_id", "common_cnt", "bi_sim")
   }

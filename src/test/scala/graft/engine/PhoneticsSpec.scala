@@ -39,6 +39,22 @@ class PhoneticsSpec extends AnyFunSuite {
     assert(!NamePools.nicknameGroup.contains("zzz"))
   }
 
+  test("nysiis published vectors") {
+    assert(nysiis("knight") === "NAGT")
+    assert(nysiis("macintosh") === "MCANT")
+    assert(nysiis("phillipson") === "FALAPS")
+    assert(nysiis("daniel") === "DANAL")
+    assert(nysiis("bishop") === "BASAP")
+    assert(nysiis("") === "")
+  }
+
+  test("nysiis groups misspelling pairs like the other coders") {
+    val agree = NamePools.last.zip(NamePools.misspellOfLast)
+      .count { case (l, p) => nysiis(l) == nysiis(p) }
+    // nysiis is stricter than soundex; most (not all) pool pairs collapse
+    assert(agree >= NamePools.last.length / 2)
+  }
+
   test("metaphone groups phonetically equal surnames") {
     assert(metaphone("smith") === metaphone("smyth"))
     assert(metaphone("davis") === metaphone("davies"))

@@ -78,6 +78,27 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) === (4L, 4L)) // singleton
   }
 
+  test("mention_id is the top-60-bit md5 of the name, collision-free") {
+    val m = Canonicalize.mentions(
+      graft.synth.Synth.transcripts(spark, "/root/testdata/sf0.001"))
+    Canonicalize.assertUniqueIds(m)
+    val (name, id) = m.orderBy($"name").select($"name", $"mention_id")
+      .as[(String, Long)].head()
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(name.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(id === java.lang.Long.parseLong(hex.take(15), 16))
+  }
+
+  test("connected components: 300-hop chain converges within the round cap") {
+    // A path graph has diameter = n-1; plain min-label propagation would
+    // need 299 rounds (> maxIter 50) — the pointer-jump makes it O(log n).
+    val edges = (1L until 300L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = ConnectedComponents.run(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size === 300)
+    assert(comp.values.forall(_ == 1L))
+  }
+
   test("pairwise F1 math matches the reference formula") {
     // two clusters; gold e1 split 2/1 across them, e2 wholly in cluster 1
     val assigns = Seq((1L, "n1", 10L, 10L), (2L, "n2", 20L, 10L), (3L, "n3", 30L, 30L))
