@@ -17,7 +17,11 @@ run / fork := true
 run / outputStrategy := Some(StdoutOutput)
 // local-cluster[] masters (Bench scaling phases) need a Spark distribution
 // to launch per-executor JVMs from.
-run / envVars += ("SPARK_HOME" -> "/opt/spark")
+run / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  // the launcher's getScalaVersion() needs this outside bin/spark-* scripts
+  "SPARK_SCALA_VERSION" -> "2.13",
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

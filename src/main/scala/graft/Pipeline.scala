@@ -57,7 +57,9 @@ object Pipeline {
 
     val fp4 = CheckpointStore.fingerprint(fp3, "assignments", cfg.clusterer, cfg.coder)
     val assignments = timed("assignments", fp4) {
-      if (cfg.clusterer == "cc") ConnectedComponents.assignments(mentions, candidates)
+      if (cfg.clusterer == "cc")
+        ConnectedComponents.assignments(mentions, candidates,
+          durableDir = Some(s"${cfg.workDir}/cc_loop"))
       else GreedyClustering.assignments(mentions, tokens, candidates, cfg.coder)
     }
 

@@ -445,25 +445,21 @@ object Queries {
         Canonicalize.ctes, Synth.goldMentionsCte))
     ),
 
-    // E-3 analogue: the greedy pipeline under the Metaphone coder
-    // (phonetic-sensitivity harness, MainPhonics.java:14-27).
-    "q_eval_greedy_metaphone" -> (
-      ((s: SparkSession, dir: String) =>
-        Evaluation.pairwiseF1(
-          GreedyClustering.assignments(mentions(s, dir), tokens(s, dir),
-            candidates(s, dir), hierarchy = "metaphone"),
-          Synth.goldMentions(s, dir))),
-      None
-    ),
-
-    // E-3: the same harness under the NYSIIS coder (`nys` variant,
-    // MainPhonics.java:16-23).
-    "q_eval_greedy_nysiis" -> (
-      ((s: SparkSession, dir: String) =>
-        Evaluation.pairwiseF1(
-          GreedyClustering.assignments(mentions(s, dir), tokens(s, dir),
-            candidates(s, dir), hierarchy = "nysiis"),
-          Synth.goldMentions(s, dir))),
+    // E-3: the phonetic-sensitivity harness (MainPhonics.java:14-27) — the
+    // full greedy pipeline re-run under each coder variant, one row per
+    // coder. Soundex reuses the cached default clustering.
+    "q_phonetic_sensitivity" -> (
+      ((s: SparkSession, dir: String) => {
+        val gold = Synth.goldMentions(s, dir)
+        Seq("soundex", "metaphone", "nysiis", "onca", "statcan").map { coder =>
+          val assigns =
+            if (coder == "soundex") greedyAssignments(s, dir)
+            else GreedyClustering.assignments(mentions(s, dir), tokens(s, dir),
+              candidates(s, dir), hierarchy = coder)
+          Evaluation.pairwiseF1(assigns, gold).withColumn("coder", lit(coder))
+        }.reduce(_ unionByName _)
+          .select(col("coder"), col("precision"), col("recall"), col("f1"))
+      }),
       None
     ),
 

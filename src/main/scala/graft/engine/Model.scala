@@ -119,6 +119,10 @@ object Hierarchy {
     new Hierarchy(s => Phonetics.metaphone(s), graft.synth.NamePools.nicknameGroup)
   lazy val nysiis: Hierarchy =
     new Hierarchy(s => Phonetics.nysiis(s), graft.synth.NamePools.nicknameGroup)
+  lazy val onca: Hierarchy =
+    new Hierarchy(s => Phonetics.onca(s), graft.synth.NamePools.nicknameGroup)
+  lazy val statcan: Hierarchy =
+    new Hierarchy(s => Phonetics.statcan(s), graft.synth.NamePools.nicknameGroup)
 }
 
 /** ClusterProfile.Entry (ClusterProfile.java:146-232); identity equality

@@ -121,10 +121,13 @@ object Blocking {
       .distinct()
   }
 
-  /** Convenience for benchmarking: pairs scored on a tokens table. */
+  /** Convenience for benchmarking: pairs scored on a tokens table (applies
+    * the stop-key valve exactly like [[candidates]]: capped tokens are
+    * excluded from pair generation, self-similarity keeps all tokens). */
   def scoredPairs(tokens: DataFrame, cfg: Config = Config()): DataFrame = {
-    val sc = scored(tokens)
-    prefixPairs(sc, selfSim(sc).withColumnRenamed("mention_id", "m"), cfg)
+    val sc0 = scored(tokens)
+    val sc = cfg.maxBlockDf.fold(sc0)(cap => sc0.filter(col("df") <= cap))
+    prefixPairs(sc, selfSim(sc0).withColumnRenamed("mention_id", "m"), cfg)
   }
 
   /** Reference-shaped naive blocking (full token self-join + pair

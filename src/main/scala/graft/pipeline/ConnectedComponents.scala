@@ -33,7 +33,21 @@ object ConnectedComponents {
     * label-chain depth — O(log diameter) rounds, so a 10^6-hop chain
     * converges in ~20 rounds instead of 10^6. Raises instead of silently
     * returning wrong labels if the cap is somehow hit. */
-  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 50,
+      durableDir: Option[String] = None, durableEvery: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    // lineage truncation per round: executor-local blocks by default; with
+    // `durableDir` the loop state is ALSO persisted to parquet every
+    // `durableEvery` rounds — the durable path for long-lived clusters with
+    // dynamic allocation, where executor-local checkpoint blocks can be
+    // lost (the Pipeline runner passes its stage work dir here).
+    def cut(df: DataFrame, round: Int): DataFrame = durableDir match {
+      case Some(dir) if round % durableEvery == 0 =>
+        val path = s"$dir/cc_labels_r$round"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case _ => df.localCheckpoint()
+    }
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -53,11 +67,11 @@ object ConnectedComponents {
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      val next = prop
+      val next = cut(prop
         .join(prop.select(col("id").as("label"), col("label").as("jump")),
           Seq("label"), "left")
-        .select(col("id"), coalesce(col("jump"), col("label")).as("label"))
-        .localCheckpoint()
+        .select(col("id"), coalesce(col("jump"), col("label")).as("label")),
+        iter)
       val changed = next.as("n")
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") < col("old")).count()
@@ -75,12 +89,13 @@ object ConnectedComponents {
     * component; cluster representative = max-weight member of the
     * component (ties broken by min mention_id; reference A-6,
     * MessagePassing.java:138). */
-  def assignments(mentions: DataFrame, candidates: DataFrame): DataFrame = {
+  def assignments(mentions: DataFrame, candidates: DataFrame,
+      durableDir: Option[String] = None): DataFrame = {
     val edges = candidates
       .select(least(col("dst_id"), col("org_id")).as("src"),
         greatest(col("dst_id"), col("org_id")).as("dst"))
       .distinct()
-    val comp = run(edges)
+    val comp = run(edges, durableDir = durableDir)
     val withComp = mentions
       .join(comp.withColumnRenamed("id", "mention_id"), Seq("mention_id"), "left")
       .withColumn("component_id", coalesce(col("component"), col("mention_id")))

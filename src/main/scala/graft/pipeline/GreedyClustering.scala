@@ -88,6 +88,8 @@ object GreedyClustering {
   private def hierOf(name: String): Hierarchy = name match {
     case "metaphone" => Hierarchy.metaphone
     case "nysiis" => Hierarchy.nysiis
+    case "onca" => Hierarchy.onca
+    case "statcan" => Hierarchy.statcan
     case _ => Hierarchy.default
   }
 

@@ -55,6 +55,16 @@ class PhoneticsSpec extends AnyFunSuite {
     assert(agree >= NamePools.last.length / 2)
   }
 
+  test("onca and statcan vectors") {
+    // ONCA = soundex of the nysiis key (published definition)
+    assert(onca("knight") === soundex("nagt"))
+    assert(onca("macintosh") === soundex("mcant"))
+    assert(statcan("johnson") === "JNSN")
+    assert(statcan("martinez") === "MRTN")
+    assert(statcan("lee") === "L")
+    assert(statcan("") === "")
+  }
+
   test("metaphone groups phonetically equal surnames") {
     assert(metaphone("smith") === metaphone("smyth"))
     assert(metaphone("davis") === metaphone("davies"))
