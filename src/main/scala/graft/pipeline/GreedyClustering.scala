@@ -151,7 +151,11 @@ object GreedyClustering {
           .iterator.map { case (id, c) => AssignRow(id, c) }
       }
 
-    // ---- distributed giant-component path
+    // ---- distributed giant-component path (skipped entirely when no
+    // component exceeds the cap — the common case at moderate scale)
+    val bigAssigns: Dataset[AssignRow] = if (bigComps.isEmpty)
+      spark.emptyDataset[AssignRow]
+    else {
     val bigMentions = mentionToks.join(bigComps, Seq("component_id")).as[MentionRow]
       .localCheckpoint()
     val bigEdges = edges.join(bigComps, Seq("component_id")).as[EdgeRow]
@@ -317,7 +321,8 @@ object GreedyClustering {
       round += 1
     }
 
-    val bigAssigns = assignDf.as[AssignRow]
+    assignDf.as[AssignRow]
+    }
 
     val all = smallAssigns.toDF().unionByName(bigAssigns.toDF())
     cc.join(all, "mention_id")

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import StreamingMentions._
+
+  private def turn(c: String, i: Int, text: String, tsMin: Int) =
+    Turn(c, i, "user", text, null, new Timestamp(1735689600000L + tsMin * 60000L))
+
+  private val turns = Seq(
+    turn("c1", 0, "pull [[ann lee]] please", 0),
+    turn("c1", 1, "searching [[ann lee]]", 1),
+    turn("c1", 2, "found 3 rows", 2),
+    turn("c1", 3, "saved [[ann lee]]", 3),
+    turn("c2", 0, "pull [[bo kim]] please", 0),
+    turn("c2", 3, "saved [[bo kim]]", 2))
+
+  test("streaming doc assembly emits once per closed conversation, batch-equal") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Turn]
+    val q = assembleDocs(in.toDS())
+      .writeStream.format("memory").queryName("docs_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // feed c1 in two batches; c2 completes in the second
+      in.addData(turns.take(3))
+      q.processAllAvailable()
+      assert(spark.table("docs_out").count() === 0) // c1 not closed yet
+      in.addData(turns.drop(3))
+      q.processAllAvailable()
+      val out = spark.table("docs_out").as[DocOut].collect()
+        .map(d => d.conv_id -> d).toMap
+      assert(out.keySet === Set("c1", "c2"))
+      assert(out("c1").n_turns === 4)
+      assert(out("c1").doc.startsWith("pull [[ann lee]]"))
+      assert(out("c1").doc.split("\n").length === 4)
+      assert(out("c2").doc === "pull [[bo kim]] please\nsaved [[bo kim]]")
+      // batch equivalence for the closed full conversation
+      val batch = graft.pipeline.Canonicalize
+        .mentionDocs(turns.filter(_.conv_id == "c1").toDF())
+        .select($"doc").as[String].head()
+      assert(out("c1").doc === batch)
+    } finally q.stop()
+  }
+
+  test("watermarked mention weights aggregate occurrences per window") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Turn]
+    val q = mentionWeights(in.toDS().toDF())
+      .writeStream.format("memory").queryName("weights_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(turns)
+      q.processAllAvailable()
+      val w = spark.table("weights_out")
+        .select($"name", $"weight").as[(String, Long)].collect().toMap
+      assert(w("ann lee") === 3L)
+      assert(w("bo kim") === 2L)
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup keeps one row per text hash") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Turn]
+    val q = dedupedDocs(in.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Seq(turn("a", 0, "same text", 0), turn("b", 0, "same text", 1),
+        turn("c", 0, "other text", 1)))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 2)
+    } finally q.stop()
+  }
+}
