@@ -101,7 +101,12 @@ object GreedyClustering {
       candidates: DataFrame,
       hierarchy: String = "soundex",
       maxComponentSize: Int = 3000,
-      attachRounds: Int = 3): DataFrame = {
+      attachRounds: Int = 3,
+      /** Tractability bound for phase-2 loner-loner sub-components
+        * (independent of the giant-path trigger above): weak components
+        * larger than this skip exact clustering and rely on the
+        * attachment rounds only. */
+      lonerComponentCap: Int = 3000): DataFrame = {
     val spark = mentions.sparkSession
     import spark.implicits._
 
@@ -209,7 +214,7 @@ object GreedyClustering {
         .withColumnRenamed("id", "mention_id")
         .withColumnRenamed("component", "loner_comp")
       val compSizes = lonerComp.groupBy($"loner_comp").count()
-        .filter($"count" <= maxComponentSize).select($"loner_comp")
+        .filter($"count" <= lonerComponentCap).select($"loner_comp")
       val boundedComp = lonerComp.join(compSizes, "loner_comp").localCheckpoint()
       val lonerMentions = bigMentions.toDF().drop("component_id")
         .join(boundedComp, "mention_id")

@@ -99,6 +99,35 @@ class PipelineSpec extends SparkSpec {
     assert(comp.values.forall(_ == 1L))
   }
 
+  test("giant-component path is cluster-identical to the exact BFS on sf0.001") {
+    // mini-fidelity: force EVERY component through the three-phase giant
+    // path (cap=2) and require clusters identical to the exact reference
+    // BFS (cap=infinity) — guards regressions of cores/loner-chaining/
+    // attachment. Ids differ (each path picks its own seeds), so compare
+    // the PARTITIONS: co-membership per mention set.
+    val m = Canonicalize.mentions(
+      graft.synth.Synth.transcripts(spark, "/root/testdata/sf0.001")).localCheckpoint()
+    val t = Tokenize.tokens(m).localCheckpoint()
+    val c = Blocking.candidates(t).localCheckpoint()
+    def partition(maxSize: Int) =
+      GreedyClustering.assignments(m, t, c, maxComponentSize = maxSize)
+        .select($"mention_id", $"cluster_id").as[(Long, Long)].collect()
+        .groupBy(_._2).values.map(_.map(_._1).sorted.toSeq).toSet
+    val exact = partition(Int.MaxValue)
+    val giant = partition(2)
+    assert(giant === exact)
+  }
+
+  test("connected components: durable checkpoint round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_durable").toString
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = ConnectedComponents.run(edges, durableDir = Some(dir), durableEvery = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.forall(_ == 1L))
+    // loop state was persisted to parquet (resume surface for lost executors)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("cc_labels_r")))
+  }
+
   test("pairwise F1 math matches the reference formula") {
     // two clusters; gold e1 split 2/1 across them, e2 wholly in cluster 1
     val assigns = Seq((1L, "n1", 10L, 10L), (2L, "n2", 20L, 10L), (3L, "n3", 30L, 30L))
