@@ -281,9 +281,12 @@ object Queries {
     ),
 
     // T-3 at maxLevel=3: full element-hierarchy statistics (A-2/A-4).
+    // Soundex is folded in pure SQL on the oracle side (list_reduce).
     "q_element_stats" -> (
       ((s: SparkSession, dir: String) => SimGraph.elementStats(tokens(s, dir))),
-      None // soundex-derived keys are not DuckDB-expressible; fixture-tested
+      Some(withCtes(
+        "SELECT kind, value, level, df FROM element_stats",
+        (pipelineCtes :+ SimGraph.elementStatsCtes): _*))
     ),
 
     // B-7 + S-3: bi-directional hierarchical re-score, similarity graph.

@@ -125,4 +125,56 @@ object SimGraph {
       .groupBy(col("mention_id").as("id"), col("name").as("label"),
         col("weight"))
       .agg(min(col("entity_id")).as("res_id"))
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB CTEs mirroring [[elementStats]], including American Soundex as
+    * a pure-SQL `list_reduce` fold (acc = 'digits~prevCode'; h/w carry the
+    * previous code, vowels/y reset it, consecutive equal codes collapse)
+    * and the nickname map inlined as VALUES. Append after Blocking.ctes. */
+  val elementStatsCtes: String = {
+    val nickRows = graft.synth.NamePools.nicknameGroup.toSeq.sorted
+      .map { case (t, g) => s"('$t','$g')" }.mkString(", ")
+    def d(c: String) =
+      s"""(CASE WHEN instr('bfpv', $c)>0 THEN '1'
+         |      WHEN instr('cgjkqsxz', $c)>0 THEN '2'
+         |      WHEN instr('dt', $c)>0 THEN '3'
+         |      WHEN $c='l' THEN '4'
+         |      WHEN instr('mn', $c)>0 THEN '5'
+         |      WHEN $c='r' THEN '6' ELSE '0' END)""".stripMargin
+    s"""sdx AS (
+       |  SELECT token,
+       |    upper(token[1]) || substr(split_part(list_reduce(
+       |      list_prepend('~' || ${d("token[1]")},
+       |        [x FOR x IN string_split(substr(token, 2), '') IF x <> '']),
+       |      (acc, c) -> CASE
+       |        WHEN c='h' OR c='w' THEN acc
+       |        WHEN ${d("c")} = '0' THEN split_part(acc,'~',1) || '~0'
+       |        WHEN ${d("c")} = split_part(acc,'~',2) THEN acc
+       |        ELSE split_part(acc,'~',1) || ${d("c")} || '~' || ${d("c")}
+       |      END), '~', 1) || '000', 1, 3) AS code
+       |  FROM token_df
+       |),
+       |nick_map AS (SELECT * FROM (VALUES $nickRows) AS t(token, grp)),
+       |elem_s AS (
+       |  SELECT 'S' AS kind, s.code AS value, 2 AS level, sum(d.df)::BIGINT AS df
+       |  FROM token_df d JOIN sdx s USING (token) GROUP BY 2
+       |),
+       |elem_n AS (
+       |  SELECT 'N' AS kind, n.grp AS value, 2 AS level, sum(d.df)::BIGINT AS df
+       |  FROM token_df d JOIN nick_map n USING (token) GROUP BY 2
+       |),
+       |elem_a AS (
+       |  SELECT 'A' AS kind, lower(substr(value, 1, 1)) AS value, 3 AS level,
+       |         sum(df)::BIGINT AS df
+       |  FROM elem_s GROUP BY 2
+       |),
+       |element_stats AS (
+       |  SELECT 'T' AS kind, token AS value, 1 AS level, df::BIGINT AS df
+       |  FROM token_df
+       |  UNION ALL SELECT kind, value, level, df FROM elem_s
+       |  UNION ALL SELECT kind, value, level, df FROM elem_n
+       |  UNION ALL SELECT kind, value, level, df FROM elem_a
+       |)""".stripMargin
+  }
 }
