@@ -63,6 +63,16 @@ object Queries {
   private def rawCtes(body: String, ctes: String*): String =
     s"WITH ${ctes.mkString(",\n")}\n$body"
 
+  /** C-9 baseline as a CTE (whole-name soundex groups). */
+  private val phoneticBaselineCte: String =
+    s"""phonetic_baseline AS (
+       |  SELECT mention_id, name, weight, code,
+       |         min(mention_id) OVER (PARTITION BY code) AS cluster_id
+       |  FROM (SELECT mention_id, name, weight,
+       |          ${SimGraph.soundexSql("replace(replace(name, ' ', ''), '.', '')")} AS code
+       |        FROM mentions)
+       |)""".stripMargin
+
   val registry: Map[String, (QueryFn, Option[String])] = Map(
 
     // ---- training-data ops: deduplication (exact + MinHash LSH +
@@ -308,8 +318,8 @@ object Queries {
 
     // C-9: whole-name phonetic baseline clusterer
     // (G.updateClustersToStringMatches, dao/G.java:306-316): cluster =
-    // min mention id per soundex(name) group. Not DuckDB-expressible
-    // (no soundex) -> rows-only; covered by unit fixtures.
+    // min mention id per soundex(squashed name) group; the oracle folds
+    // soundex in pure SQL (SimGraph.soundexSql).
     "q_phonetic_baseline" -> (
       ((s: SparkSession, dir: String) => {
         graft.functions.GraftFunctions.register(s)
@@ -321,7 +331,9 @@ object Queries {
           .select(col("mention_id"), col("name"), col("weight"), col("code"),
             col("cluster_id"))
       }),
-      None
+      Some(withCtes(
+        "SELECT mention_id, name, weight, code, cluster_id FROM phonetic_baseline",
+        Canonicalize.ctes, phoneticBaselineCte))
     ),
 
     // E-1 over the C-9 baseline.
@@ -330,7 +342,11 @@ object Queries {
         Evaluation.pairwiseF1(
           SparkEntry.queries("q_phonetic_baseline")(s, dir),
           Synth.goldMentions(s, dir))),
-      None
+      Some(withCtes(
+        "SELECT tp, fp, fn, precision, recall, f1 FROM pairwise_eval",
+        Canonicalize.ctes, Synth.goldMentionsCte, phoneticBaselineCte,
+        "assignments AS (SELECT * FROM phonetic_baseline)",
+        Evaluation.ctes))
     ),
 
     // C-10: blocking recall ceiling (G.updateToMaxAchievableRecall,

@@ -132,9 +132,10 @@ object SimGraph {
     * a pure-SQL `list_reduce` fold (acc = 'digits~prevCode'; h/w carry the
     * previous code, vowels/y reset it, consecutive equal codes collapse)
     * and the nickname map inlined as VALUES. Append after Blocking.ctes. */
-  val elementStatsCtes: String = {
-    val nickRows = graft.synth.NamePools.nicknameGroup.toSeq.sorted
-      .map { case (t, g) => s"('$t','$g')" }.mkString(", ")
+  /** American Soundex of a (lowercase alpha) SQL expression as a pure
+    * DuckDB `list_reduce` fold — acc = 'digits~prevCode'; h/w carry the
+    * previous code, vowels/y reset it, consecutive equal codes collapse. */
+  def soundexSql(col: String): String = {
     def d(c: String) =
       s"""(CASE WHEN instr('bfpv', $c)>0 THEN '1'
          |      WHEN instr('cgjkqsxz', $c)>0 THEN '2'
@@ -142,17 +143,22 @@ object SimGraph {
          |      WHEN $c='l' THEN '4'
          |      WHEN instr('mn', $c)>0 THEN '5'
          |      WHEN $c='r' THEN '6' ELSE '0' END)""".stripMargin
-    s"""sdx AS (
-       |  SELECT token,
-       |    upper(token[1]) || substr(split_part(list_reduce(
-       |      list_prepend('~' || ${d("token[1]")},
-       |        [x FOR x IN string_split(substr(token, 2), '') IF x <> '']),
+    s"""upper(($col)[1]) || substr(split_part(list_reduce(
+       |      list_prepend('~' || ${d(s"($col)[1]")},
+       |        [x FOR x IN string_split(substr($col, 2), '') IF x <> '']),
        |      (acc, c) -> CASE
        |        WHEN c='h' OR c='w' THEN acc
        |        WHEN ${d("c")} = '0' THEN split_part(acc,'~',1) || '~0'
        |        WHEN ${d("c")} = split_part(acc,'~',2) THEN acc
        |        ELSE split_part(acc,'~',1) || ${d("c")} || '~' || ${d("c")}
-       |      END), '~', 1) || '000', 1, 3) AS code
+       |      END), '~', 1) || '000', 1, 3)""".stripMargin
+  }
+
+  val elementStatsCtes: String = {
+    val nickRows = graft.synth.NamePools.nicknameGroup.toSeq.sorted
+      .map { case (t, g) => s"('$t','$g')" }.mkString(", ")
+    s"""sdx AS (
+       |  SELECT token, ${soundexSql("token")} AS code
        |  FROM token_df
        |),
        |nick_map AS (SELECT * FROM (VALUES $nickRows) AS t(token, grp)),
