@@ -119,6 +119,20 @@ object Queries {
       Some(rawCtes("SELECT vec_id, neighbor_id, cosine, rank FROM ann_topk",
         Similarity.ctes))
     ),
+    "q_embed_neardup" -> (
+      ((s: SparkSession, dir: String) => Similarity.embedNearDups(embeddings(s, dir))),
+      Some(rawCtes("SELECT a, b, cosine FROM embed_neardup", Similarity.ctes))
+    ),
+    "q_ivf_probes" -> (
+      ((s: SparkSession, dir: String) => Similarity.ivfProbes(embeddings(s, dir))),
+      Some(rawCtes("SELECT vec_id, cell, cosine, probe_rank FROM ivf_probes",
+        Similarity.ctes))
+    ),
+    "q_ivf_topk" -> (
+      ((s: SparkSession, dir: String) => Similarity.ivfTopK(embeddings(s, dir))),
+      Some(rawCtes("SELECT vec_id, neighbor_id, cosine, rank FROM ivf_topk",
+        Similarity.ctes))
+    ),
 
     // ---- training-data ops: text analysis over `documents`.
     "q_lang_id" -> (

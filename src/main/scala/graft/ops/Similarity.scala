@@ -92,6 +92,90 @@ object Similarity {
       .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: (a, b, cosine) with a < b and
+    * cosine >= `minCosine`, candidates confined to multi-table LSH buckets
+    * (same index as [[annTopK]]) — the dedup-flavoured use of the ANN
+    * index: one linear signature scan + bucket-bounded verification, never
+    * the all-pairs cross join. */
+  def embedNearDups(embeddings: DataFrame, minCosine: Double = 0.3,
+      tables: Int = 6, planes: Int = 5): DataFrame = {
+    val sigs = lshSignatures(embeddings, tables, planes)
+    val cand = sigs.as("x")
+      .join(sigs.as("y"), Seq("t", "sig"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na")), "a")
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb")), "b")
+      .withColumn("cosine", round(dot("ea", "eb") / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
+  /** IVF coarse index, probe assignment as a pure per-row projection.
+    *
+    * Centroids are the `nlist` lowest-vec_id embeddings — a deterministic,
+    * oracle-reproducible stand-in for trained k-means centroids (swap in
+    * MLlib KMeans at production; the plan shape is identical). They are
+    * fetched with a TakeOrderedAndProject (no global sort) and inlined as
+    * a literal array, so cell assignment + probe ranking is ONE
+    * shuffle-free codegen'd projection per row — the 100-TB shape: no
+    * N x nlist row expansion, no window shuffle.
+    *
+    * Returns (vec_id, cell, cosine, probe_rank) for probe_rank <= nprobe;
+    * probe_rank = 1 is the cell the vector is assigned to. */
+  def ivfProbes(embeddings: DataFrame, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = embeddings.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(nlist).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val nrm = math.sqrt(v.foldLeft(0d)((acc, x) => acc + x * x))
+        val arr = v.map(d => s"${java.lang.Double.toString(d)}D").mkString(", ")
+        s"named_struct('cell', ${id}L, 'cnrm', ${java.lang.Double.toString(nrm)}D, 'cv', array($arr))"
+      }.mkString("array(", ", ", ")")
+    val probes =
+      s"""slice(array_sort(transform($cents, c -> named_struct(
+         |  'ncos', -round(aggregate(zip_with(embedding, c.cv, (x, y) -> cast(x as double) * y),
+         |                           0D, (acc, v) -> acc + v) / (nrm * c.cnrm), 6),
+         |  'cell', c.cell))), 1, $nprobe)""".stripMargin
+    embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm("embedding"))
+      .select(col("vec_id"), posexplode(expr(probes)))
+      .select(col("vec_id"), col("col.cell").as("cell"),
+        (col("col.ncos") * -1d).as("cosine"), (col("pos") + 1).as("probe_rank"))
+  }
+
+  /** IVF-flat ANN top-k: candidates are vectors whose ASSIGNED cell is
+    * among the query's `nprobe` nearest cells; quadratic work confined to
+    * cells (shuffle key = cell, per-cell size bounded by the coarse
+    * partition). The second scale path next to [[annTopK]] — better
+    * recall/cost control on clustered corpora. */
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val probes = ivfProbes(embeddings, nlist, nprobe)
+    val assign = probes.filter(col("probe_rank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm("embedding"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // each neighbor has exactly one assigned cell -> the join emits each
+    // (vec_id, neighbor_id) at most once; no distinct needed
+    probes.select(col("vec_id"), col("cell"))
+      .join(assign, "cell")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .join(e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na")), "vec_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "neighbor_id")
+      .withColumn("cosine", round(dot("ea", "eb") / (col("na") * col("nb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   val ctes: String =
@@ -148,6 +232,53 @@ object Similarity {
       |    FROM ann_cand c
       |    JOIN emb a ON c.vec_id = a.vec_id
       |    JOIN emb b ON c.neighbor_id = b.vec_id
+      |  ) WHERE rank <= 5
+      |),
+      |embed_neardup AS (
+      |  SELECT a, b, cosine FROM (
+      |    SELECT c.a, c.b,
+      |           round(list_sum([ (ea.embedding[i]::DOUBLE) * (eb.embedding[i]::DOUBLE)
+      |                            FOR i IN generate_series(1, len(ea.embedding)) ])
+      |                 / (ea.nrm * eb.nrm), 6) AS cosine
+      |    FROM (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      |          FROM lsh_sigs x JOIN lsh_sigs y ON x.t = y.t AND x.sig = y.sig
+      |          WHERE x.vec_id < y.vec_id) c
+      |    JOIN emb ea ON c.a = ea.vec_id
+      |    JOIN emb eb ON c.b = eb.vec_id
+      |  ) WHERE cosine >= 0.3
+      |),
+      |ivf_centroids AS (
+      |  SELECT vec_id AS cell, embedding AS cv, nrm AS cnrm
+      |  FROM emb ORDER BY vec_id LIMIT 16
+      |),
+      |ivf_probes AS (
+      |  SELECT vec_id, cell, cosine, probe_rank::INT AS probe_rank FROM (
+      |    SELECT e.vec_id, c.cell,
+      |           round(list_sum([ (e.embedding[i]::DOUBLE) * (c.cv[i]::DOUBLE)
+      |                            FOR i IN generate_series(1, len(e.embedding)) ])
+      |                 / (e.nrm * c.cnrm), 6) AS cosine,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |                              ORDER BY round(list_sum([ (e.embedding[i]::DOUBLE) * (c.cv[i]::DOUBLE)
+      |                            FOR i IN generate_series(1, len(e.embedding)) ])
+      |                 / (e.nrm * c.cnrm), 6) DESC, c.cell ASC) AS probe_rank
+      |    FROM emb e, ivf_centroids c
+      |  ) WHERE probe_rank <= 4
+      |),
+      |ivf_topk AS (
+      |  SELECT vec_id, neighbor_id, cosine, rank::INT AS rank FROM (
+      |    SELECT p.vec_id, a.vec_id AS neighbor_id,
+      |           round(list_sum([ (ea.embedding[i]::DOUBLE) * (eb.embedding[i]::DOUBLE)
+      |                            FOR i IN generate_series(1, len(ea.embedding)) ])
+      |                 / (ea.nrm * eb.nrm), 6) AS cosine,
+      |           row_number() OVER (PARTITION BY p.vec_id
+      |                              ORDER BY round(list_sum([ (ea.embedding[i]::DOUBLE) * (eb.embedding[i]::DOUBLE)
+      |                            FOR i IN generate_series(1, len(ea.embedding)) ])
+      |                 / (ea.nrm * eb.nrm), 6) DESC, a.vec_id ASC) AS rank
+      |    FROM (SELECT vec_id, cell FROM ivf_probes) p
+      |    JOIN (SELECT vec_id, cell FROM ivf_probes WHERE probe_rank = 1) a USING (cell)
+      |    JOIN emb ea ON p.vec_id = ea.vec_id
+      |    JOIN emb eb ON a.vec_id = eb.vec_id
+      |    WHERE p.vec_id <> a.vec_id
       |  ) WHERE rank <= 5
       |)""".stripMargin
 }

@@ -41,26 +41,46 @@ object TextDedup {
         .as("shingle"))
       .distinct()
 
-  /** MinHash signatures, 8 permutations: (doc_id, j, minhash). */
-  def minhashSignatures(documents: DataFrame, nHashes: Int = 8): DataFrame =
+  /** MinHash signatures, 8 permutations: (doc_id, j, minhash). Single
+    * pass: one groupBy with nHashes min-columns (map-side partial agg —
+    * the shuffle carries one wide row per doc, not nHashes x shingle
+    * rows), exploded back to long form after the aggregate. */
+  def minhashSignatures(documents: DataFrame, nHashes: Int = 8): DataFrame = {
+    val mins = (0 until nHashes).map(j =>
+      min(h32(concat(col("shingle"), lit(s":$j")))).as(s"m$j"))
     shingles(documents)
-      .crossJoin(spark_range_df(documents, nHashes))
-      .withColumn("h", h32(concat(col("shingle"), lit(":"), col("j"))))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(col("h")).as("minhash"))
-
-  private def spark_range_df(documents: DataFrame, n: Int): DataFrame =
-    documents.sparkSession.range(n).toDF("j")
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), explode(array((0 until nHashes).map(j =>
+        struct(lit(j.toLong).as("j"), col(s"m$j").as("minhash"))): _*)).as("s"))
+      .select(col("doc_id"), col("s.j"), col("s.minhash"))
+  }
 
   /** LSH candidate pairs with 4 bands x 2 rows: (a, b) doc pairs sharing
-    * at least one band signature. */
-  def lshPairs(documents: DataFrame, nHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    * at least one band signature.
+    *
+    * `maxBucket` is the hot-bucket valve: a bucket of m docs generates
+    * m*(m-1)/2 pairs, so one boilerplate-text bucket of 10^6 docs is
+    * 5*10^11 pairs — at 100 TB the cap (drop buckets above it; their
+    * members are near-identical boilerplate better handled by exact
+    * dedup upstream) bounds the quadratic step. Default None keeps the
+    * oracle-exact semantics. */
+  def lshPairs(documents: DataFrame, nHashes: Int = 8, rowsPerBand: Int = 2,
+               maxBucket: Option[Int] = None): DataFrame = {
     val sigs = minhashSignatures(documents, nHashes)
       .withColumn("band", (col("j") / rowsPerBand).cast("int"))
-    val buckets = sigs
+    val all = sigs
       .groupBy(col("doc_id"), col("band"))
       .agg(array_join(expr("transform(array_sort(collect_list(struct(j, minhash))), x -> x.minhash)"), ",")
         .as("bucket_key"))
+    val buckets = maxBucket match {
+      case None => all
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("band"), col("bucket_key"))
+        all.withColumn("bsz", count(lit(1)).over(w))
+          .filter(col("bsz") <= cap).drop("bsz")
+    }
     buckets.as("x").join(buckets.as("y"), Seq("band", "bucket_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

@@ -64,6 +64,52 @@ class OpsSpec extends SparkSpec {
     assert(candPairs < n * n / 3, s"LSH examined $candPairs of ${n * n} pairs")
   }
 
+  test("IVF probes: assignment is the nearest centroid, topk agrees with brute in probed cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = Similarity.ivfProbes(emb, nlist = 8, nprobe = 3)
+    // every vector gets exactly nprobe probes, rank 1..nprobe, descending cosine
+    val byVec = probes.select($"vec_id", $"probe_rank", $"cosine")
+      .as[(Long, Int, Double)].collect().groupBy(_._1)
+    assert(byVec.forall(_._2.length == 3))
+    byVec.values.foreach { ps =>
+      val sorted = ps.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1, 2, 3))
+      assert(sorted.map(-_._3).toSeq == sorted.map(-_._3).toSeq.sorted)
+    }
+    // a centroid vector is assigned to its own cell at cosine 1.0
+    val self = probes.filter($"probe_rank" === 1 && $"vec_id" === $"cell")
+      .select($"cosine").as[Double].collect()
+    assert(self.nonEmpty && self.forall(_ == 1.0))
+    // ivf top-1 within probed cells matches brute top-1 when brute's
+    // winner lives in a probed cell
+    val topk = Similarity.ivfTopK(emb, k = 1, nlist = 8, nprobe = 8) // probe all -> exhaustive
+    val brute = Similarity.knnBrute(emb, k = 1)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val ivf = topk.select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    assert(brute == ivf, "nprobe = nlist must equal brute force")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val nd = Similarity.embedNearDups(emb, minCosine = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(nd.nonEmpty)
+    assert(nd.forall(p => p._1 < p._2 && p._3 >= 0.3))
+    assert(nd.map(p => (p._1, p._2)).distinct.length == nd.length)
+  }
+
+  test("LSH hot-bucket cap drops only pairs from oversized buckets") {
+    // doc texts 1-3 identical -> same buckets everywhere (bucket size 3);
+    // docs 4-5 identical -> bucket size 2. cap=2 must keep (4,5), drop 1-3 pairs.
+    val d = docs(
+      (1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"), (3L, "aa bb cc dd ee"),
+      (4L, "xx yy zz ww vv"), (5L, "xx yy zz ww vv"))
+    val unc = TextDedup.lshPairs(d).as[(Long, Long)].collect().toSet
+    assert(unc.contains((1L, 2L)) && unc.contains((4L, 5L)))
+    val capped = TextDedup.lshPairs(d, maxBucket = Some(2)).as[(Long, Long)].collect().toSet
+    assert(capped === Set((4L, 5L)))
+  }
+
   test("token counts and fingerprints are deterministic and sane") {
     val d = docs((1L, "one two three"), (2L, "one two three"))
     val tc = TextAnalysis.tokenCounts(d).as[(Long, Long, Long)].collect()
