@@ -314,10 +314,14 @@ object Queries {
     ),
 
     // B-7 + S-3: bi-directional hierarchical re-score, similarity graph.
+    // Oracle reproduces the level walk in SQL with a bit-exact ordered
+    // list_reduce fold (see SimGraph.simEdgesCtes).
     "q_sim_graph_edges" -> (
       ((s: SparkSession, dir: String) =>
         SimGraph.simGraphEdges(tokens(s, dir), candidates(s, dir))),
-      None
+      Some(withCtes(
+        """SELECT source, target, weight, common_token_cnt FROM sim_edges""",
+        (pipelineCtes ++ Seq(SimGraph.elementStatsCtes, SimGraph.simEdgesCtes)): _*))
     ),
     "q_sim_graph_vertices" -> (
       ((s: SparkSession, dir: String) =>

@@ -183,4 +183,107 @@ object SimGraph {
        |  UNION ALL SELECT kind, value, level, df FROM elem_a
        |)""".stripMargin
   }
+
+  /** DuckDB CTEs mirroring [[simGraphEdges]] (the B-7 bi-directional
+    * level walk). Append after [[elementStatsCtes]].
+    *
+    * Bit-exactness: floating-point addition is order-sensitive, so the
+    * oracle reproduces the Scala fold EXACTLY — each matched key
+    * contributes `(1.0/df) * min(cntO, cntD)` (same op order as
+    * BiDirectional.sim), and per-pair terms are summed with a sequential
+    * `list_reduce` fold ordered by (level, org-side first-token position,
+    * S-before-N) — provably the LinkedHashMap insertion order of the
+    * Scala walk (collapsed keys keep their first inserter's position;
+    * same-token S is inserted before its N; later tokens only append). */
+  val simEdgesCtes: String =
+    """sg_l1 AS (
+      |  SELECT c.dst_id, c.org_id, 'o' AS side, t.token AS value,
+      |         count(*)::BIGINT AS cnt, min(t.pos) AS fp
+      |  FROM candidates c JOIN tokens t ON t.mention_id = c.org_id
+      |  GROUP BY 1, 2, 4
+      |  UNION ALL
+      |  SELECT c.dst_id, c.org_id, 'd', t.token, count(*)::BIGINT, min(t.pos)
+      |  FROM candidates c JOIN tokens t ON t.mention_id = c.dst_id
+      |  GROUP BY 1, 2, 4
+      |),
+      |sg_m1 AS (
+      |  SELECT o.dst_id, o.org_id, 'T' AS kind, o.value,
+      |         least(o.cnt, d.cnt) AS mc, o.fp, 1 AS lvl, 0 AS kord
+      |  FROM sg_l1 o JOIN sg_l1 d
+      |    ON o.dst_id = d.dst_id AND o.org_id = d.org_id AND o.value = d.value
+      |   AND o.side = 'o' AND d.side = 'd'
+      |),
+      |sg_rem1 AS (
+      |  SELECT s.* FROM sg_l1 s
+      |  LEFT JOIN sg_m1 m ON m.dst_id = s.dst_id AND m.org_id = s.org_id
+      |                   AND m.value = s.value
+      |  WHERE m.value IS NULL
+      |),
+      |sg_l2 AS (
+      |  SELECT r.dst_id, r.org_id, r.side, 'S' AS kind, x.code AS value,
+      |         sum(r.cnt)::BIGINT AS cnt, min(r.fp) AS fp
+      |  FROM sg_rem1 r JOIN sdx x ON x.token = r.value
+      |  GROUP BY 1, 2, 3, 5
+      |  UNION ALL
+      |  SELECT r.dst_id, r.org_id, r.side, 'N', n.grp,
+      |         sum(r.cnt)::BIGINT, min(r.fp)
+      |  FROM sg_rem1 r JOIN nick_map n ON n.token = r.value
+      |  GROUP BY 1, 2, 3, 5
+      |),
+      |sg_m2 AS (
+      |  SELECT o.dst_id, o.org_id, o.kind, o.value,
+      |         least(o.cnt, d.cnt) AS mc, o.fp, 2 AS lvl,
+      |         CASE WHEN o.kind = 'S' THEN 0 ELSE 1 END AS kord
+      |  FROM sg_l2 o JOIN sg_l2 d
+      |    ON o.dst_id = d.dst_id AND o.org_id = d.org_id
+      |   AND o.kind = d.kind AND o.value = d.value
+      |   AND o.side = 'o' AND d.side = 'd'
+      |),
+      |sg_rem2 AS (
+      |  SELECT s.* FROM sg_l2 s
+      |  LEFT JOIN sg_m2 m ON m.dst_id = s.dst_id AND m.org_id = s.org_id
+      |                   AND m.kind = s.kind AND m.value = s.value
+      |  WHERE m.value IS NULL
+      |),
+      |sg_l3 AS (
+      |  SELECT dst_id, org_id, side, 'A' AS kind,
+      |         lower(substr(value, 1, 1)) AS value,
+      |         sum(cnt)::BIGINT AS cnt, min(fp) AS fp
+      |  FROM sg_rem2 WHERE kind = 'S'
+      |  GROUP BY 1, 2, 3, 5
+      |),
+      |sg_m3 AS (
+      |  SELECT o.dst_id, o.org_id, o.kind, o.value,
+      |         least(o.cnt, d.cnt) AS mc, o.fp, 3 AS lvl, 0 AS kord
+      |  FROM sg_l3 o JOIN sg_l3 d
+      |    ON o.dst_id = d.dst_id AND o.org_id = d.org_id AND o.value = d.value
+      |   AND o.side = 'o' AND d.side = 'd'
+      |),
+      |sg_contrib AS (
+      |  SELECT m.dst_id, m.org_id, m.lvl, m.fp, m.kord,
+      |         (1.0::DOUBLE / st.df) * m.mc AS term
+      |  FROM (SELECT * FROM sg_m1 UNION ALL
+      |        SELECT * FROM sg_m2 UNION ALL
+      |        SELECT * FROM sg_m3) m
+      |  JOIN element_stats st ON st.kind = m.kind AND st.value = m.value
+      |),
+      |sg_pair_sim AS (
+      |  SELECT c.dst_id, c.org_id, c.common_cnt, coalesce(x.bi, 0.0::DOUBLE) AS bi_sim
+      |  FROM candidates c LEFT JOIN (
+      |    SELECT dst_id, org_id,
+      |           list_reduce(list(term ORDER BY lvl, fp, kord),
+      |                       (a, b) -> a + b) AS bi
+      |    FROM sg_contrib GROUP BY 1, 2
+      |  ) x ON c.dst_id = x.dst_id AND c.org_id = x.org_id
+      |),
+      |sim_edges AS (
+      |  SELECT source, target, min(w) AS weight,
+      |         min(common_cnt) AS common_token_cnt
+      |  FROM (
+      |    SELECT least(dst_id, org_id) AS source,
+      |           greatest(dst_id, org_id) AS target,
+      |           round(bi_sim, 6) AS w, common_cnt
+      |    FROM sg_pair_sim
+      |  ) GROUP BY 1, 2
+      |)""".stripMargin
 }
