@@ -307,6 +307,16 @@ object Bench {
          |reference algorithm (whole-component BFS) on the same corpus —
          |the north rule's "match the reference's clusters (F1 >= 0.99)".
          |
+         |The pairwise-vs-GOLD recall gap is faithful, not a bug: fidelity
+         |1.0 means our clusters equal the exact reference algorithm's on
+         |this corpus, and DebugFn attributes the residual FN mass to the
+         |reference's own refusals — trailing suffix tokens ("jr") tagged
+         |LASTNAME by initNamesPart, and unmatched-full-middle initial
+         |forms — within the reference's published band (0.862–0.964,
+         |BASELINE.md). Blocking recall ceiling at this sf: 0.956;
+         |name-granularity ceiling: 0.997 (q_eval_upper_bound /
+         |q_recall_ceiling_paired).
+         |
          |## Headline operator timings (local[$cpusHi])
          |
          |Each query forced through a noop sink; shared pipeline stages are

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Physical-plan regression guards for the scale-critical operator shapes:
+  * the properties the 100-TB design depends on, asserted so a refactor
+  * that silently reintroduces a shuffle or a row explosion fails CI.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countExchanges(plan: String): Int =
+    "(?i)exchange".r.findAllIn(plan).length
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("ivfProbes: probe assignment is a shuffle-free projection") {
+    val plan = physical(Similarity.ivfProbes(emb, nlist = 8, nprobe = 3))
+    assert(countExchanges(plan) == 0,
+      s"IVF probe assignment must not shuffle; plan:\n$plan")
+  }
+
+  test("minhashSignatures: exactly one shuffle (the per-doc aggregate)") {
+    val plan = physical(TextDedup.minhashSignatures(docs))
+    assert(countExchanges(plan) == 1,
+      s"single-pass MinHash must shuffle once (wide partial agg); plan:\n$plan")
+  }
+
+  test("simhash: exactly one shuffle, no row-expansion join") {
+    val plan = physical(TextDedup.simhash(docs))
+    assert(countExchanges(plan) == 1, s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"simhash must not cross-join a bit range; plan:\n$plan")
+  }
+
+  test("lang-id / quality / token-count / fingerprint are single-scan, zero-shuffle") {
+    Seq(
+      TextAnalysis.langId(docs),
+      TextAnalysis.qualityScore(docs),
+      TextAnalysis.tokenCounts(docs),
+      TextAnalysis.fingerprints(docs)
+    ).foreach { df =>
+      val plan = physical(df)
+      assert(countExchanges(plan) == 0, s"plan:\n$plan")
+    }
+  }
+}
