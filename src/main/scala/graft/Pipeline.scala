@@ -75,12 +75,15 @@ object Pipeline {
     val cfg = Config(args(0), args(1),
       if (args.length > 2) args(2) else "greedy",
       if (args.length > 3) args(3) else "soundex")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+    val base = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // under spark-submit the master (e.g. a real cluster manager) comes in
+    // via spark.master; only default to local[n] for bare `runMain`
+    val spark = (if (sys.props.contains("spark.master")) base
+                 else base.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val (times, _) = run(spark, cfg)
