@@ -60,7 +60,8 @@ object Pipeline {
       if (cfg.clusterer == "cc")
         ConnectedComponents.assignments(mentions, candidates,
           durableDir = Some(s"${cfg.workDir}/cc_loop"))
-      else GreedyClustering.assignments(mentions, tokens, candidates, cfg.coder)
+      else GreedyClustering.assignments(mentions, tokens, candidates, cfg.coder,
+        durableDir = Some(s"${cfg.workDir}/greedy_loop"))
     }
 
     val fp5 = CheckpointStore.fingerprint(fp4, "eval")

@@ -106,9 +106,23 @@ object GreedyClustering {
         * (independent of the giant-path trigger above): weak components
         * larger than this skip exact clustering and rely on the
         * attachment rounds only. */
-      lonerComponentCap: Int = 3000): DataFrame = {
+      lonerComponentCap: Int = 3000,
+      /** When set, per-round attachment-loop state (assignments +
+        * profiles) is persisted to parquet instead of executor-local
+        * checkpoint blocks — the durable path for long-lived clusters
+        * with dynamic allocation (same contract as
+        * ConnectedComponents.run's durableDir). */
+      durableDir: Option[String] = None): DataFrame = {
     val spark = mentions.sparkSession
     import spark.implicits._
+
+    def pin(df: DataFrame, name: String): DataFrame = durableDir match {
+      case Some(dir) =>
+        val path = s"$dir/$name"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
 
     val m = mentions.localCheckpoint()
     val cand = candidates.localCheckpoint()
@@ -246,8 +260,8 @@ object GreedyClustering {
     var round = 0
     var done = false
     while (round < attachRounds && !done) {
-      assignDf = assignDf.localCheckpoint()
-      profilesDf = profilesDf.localCheckpoint()
+      assignDf = pin(assignDf, s"greedy_assign_r$round")
+      profilesDf = pin(profilesDf, s"greedy_profiles_r$round")
       val sizes = assignDf.groupBy($"cluster_id").count().localCheckpoint()
       val singles = assignDf.join(sizes.filter($"count" === 1), "cluster_id")
         .select($"mention_id")
