@@ -69,10 +69,25 @@ object Similarity {
         .otherwise(0L)).as("sig"))
   }
 
+  /** Drop (t, sig) buckets holding more than `cap` vectors — the
+    * hot-bucket valve for sign-pattern LSH (e.g. the all-positive bucket
+    * on non-centered data): a bucket of m vectors emits m^2 candidate
+    * rows, so capping bounds the quadratic step; the other tables still
+    * cover its members. */
+  private def capBuckets(sigs: DataFrame, cap: Option[Int]): DataFrame =
+    cap match {
+      case None => sigs
+      case Some(c) =>
+        val w = Window.partitionBy(col("t"), col("sig"))
+        sigs.withColumn("bsz", count(lit(1)).over(w))
+          .filter(col("bsz") <= c).drop("bsz")
+    }
+
   /** ANN top-k via multi-table LSH buckets: candidate pairs share a bucket
     * in ANY table; quadratic work confined to buckets. */
-  def annTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 6, planes: Int = 5): DataFrame = {
-    val sigs = lshSignatures(embeddings, tables, planes)
+  def annTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 6, planes: Int = 5,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val sigs = capBuckets(lshSignatures(embeddings, tables, planes), maxBucket)
     val candPairs = sigs.as("x")
       .join(sigs.as("y"), Seq("t", "sig"))
       .filter(col("x.vec_id") =!= col("y.vec_id"))
@@ -98,8 +113,8 @@ object Similarity {
     * index: one linear signature scan + bucket-bounded verification, never
     * the all-pairs cross join. */
   def embedNearDups(embeddings: DataFrame, minCosine: Double = 0.3,
-      tables: Int = 6, planes: Int = 5): DataFrame = {
-    val sigs = lshSignatures(embeddings, tables, planes)
+      tables: Int = 6, planes: Int = 5, maxBucket: Option[Int] = None): DataFrame = {
+    val sigs = capBuckets(lshSignatures(embeddings, tables, planes), maxBucket)
     val cand = sigs.as("x")
       .join(sigs.as("y"), Seq("t", "sig"))
       .filter(col("x.vec_id") < col("y.vec_id"))

@@ -98,6 +98,16 @@ class OpsSpec extends SparkSpec {
     assert(nd.map(p => (p._1, p._2)).distinct.length == nd.length)
   }
 
+  test("ANN hot-bucket cap prunes candidates, keeps small-bucket pairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val unc = Similarity.annTopK(emb, k = 1).count()
+    val capped = Similarity.annTopK(emb, k = 1, maxBucket = Some(10))
+    // still produces results for vectors living in small buckets, and every
+    // emitted pair is rank-consistent
+    assert(capped.count() > 0 && capped.count() <= unc)
+    assert(capped.filter($"rank" =!= 1).count() === 0)
+  }
+
   test("LSH hot-bucket cap drops only pairs from oversized buckets") {
     // doc texts 1-3 identical -> same buckets everywhere (bucket size 3);
     // docs 4-5 identical -> bucket size 2. cap=2 must keep (4,5), drop 1-3 pairs.
