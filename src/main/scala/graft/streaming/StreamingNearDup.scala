@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Streaming MinHash-LSH near-duplicate detection over a document stream
+  * (doc_id, text, ts) — the continuous analogue of
+  * [[graft.ops.TextDedup.lshPairs]].
+  *
+  * MinHash signatures depend only on a document's OWN shingle set, so they
+  * are a stateless per-row projection here — bit-identical to the batch
+  * operator's per-doc signatures (same md5-derived hash family, same
+  * band/bucket keys), which the spec asserts. The only stateful step is
+  * band-bucket founder tracking: per (band, bucket_key) the state store
+  * remembers the first document; later arrivals in the same bucket are
+  * emitted as near-dup candidates against the founder. State is one id per
+  * bucket and is reaped by event-time timeout past the watermark horizon,
+  * so memory is bounded by (distinct buckets in horizon), shuffled by
+  * bucket key — no global structures, holds at any executor count.
+  */
+object StreamingNearDup {
+
+  final case class BucketRow(doc_id: Long, band: Int, bucket_key: String, ts: Timestamp)
+  final case class FounderState(founder: Long, maxTs: Long)
+  final case class DupOut(doc_id: Long, dup_of: Long, band: Int, bucket_key: String)
+
+  private def h32sql(e: String) =
+    s"cast(conv(substring(md5($e), 1, 8), 16, 10) as bigint)"
+
+  /** Stateless per-row band buckets, schema (doc_id, band, bucket_key, ts).
+    * Matches the batch bucket keys exactly: minhash_j = min over distinct
+    * word-3-gram shingles of h32(shingle ++ ":" ++ j); bucket_key = the
+    * band's minhashes joined "," in j order. Docs with no 3-gram (under
+    * 3 words) produce no buckets, as in batch. */
+  def bandBuckets(docs: DataFrame, nHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sigs = (0 until nHashes).map { j =>
+      expr(s"array_min(transform(sh, s -> ${h32sql(s"concat(s, ':$j')")}))").as(s"m$j")
+    }
+    val bands = (0 until nHashes / rowsPerBand).map { b =>
+      val ks = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => col(s"m$j").cast("string"))
+      struct(lit(b).as("band"), concat_ws(",", ks: _*).as("bucket_key"))
+    }
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("sh", expr(
+        """array_distinct(transform(sequence(1, greatest(size(w) - 2, 0)),
+          |                         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))""".stripMargin))
+      .filter(size(col("sh")) > 0)
+      .select((Seq(col("doc_id"), col("ts")) ++ sigs): _*)
+      .select(col("doc_id"), col("ts"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket_key").as("bucket_key"), col("ts"))
+  }
+
+  /** Near-dup candidates: (doc_id, dup_of, band, bucket_key), one row per
+    * colliding band. First writer per bucket wins founder; ties inside one
+    * micro-batch break on (ts, doc_id) for determinism. */
+  def nearDups(docs: DataFrame, lateness: String = "10 minutes",
+      nHashes: Int = 8, rowsPerBand: Int = 2): Dataset[DupOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val horizonMs = 10 * 60 * 1000L
+    bandBuckets(docs, nHashes, rowsPerBand)
+      .withWatermark("ts", lateness)
+      .as[BucketRow]
+      .groupByKey(r => (r.band, r.bucket_key))
+      .flatMapGroupsWithState[FounderState, DupOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[FounderState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            var st = state.getOption
+            val out = Seq.newBuilder[DupOut]
+            sorted.foreach { r =>
+              st match {
+                case None =>
+                  st = Some(FounderState(r.doc_id, r.ts.getTime))
+                case Some(f) =>
+                  if (f.founder != r.doc_id)
+                    out += DupOut(r.doc_id, f.founder, key._1, key._2)
+                  st = Some(f.copy(maxTs = math.max(f.maxTs, r.ts.getTime)))
+              }
+            }
+            st.foreach { f =>
+              state.update(f)
+              state.setTimeoutTimestamp(f.maxTs + horizonMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{array_join, expr, length, lit}
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
@@ -64,6 +65,55 @@ class StreamingSpec extends SparkSpec {
         .select($"name", $"weight").as[(String, Long)].collect().toMap
       assert(w("ann lee") === 3L)
       assert(w("bo kim") === 2L)
+    } finally q.stop()
+  }
+
+  test("streaming near-dup: per-row buckets equal batch; founders flag later dups") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    final case class Doc(doc_id: Long, text: String, ts: Timestamp)
+    def doc(id: Long, text: String, tsMin: Int) =
+      (id, text, new Timestamp(1735689600000L + tsMin * 60000L))
+    val docs = Seq(
+      doc(1L, "the quick brown fox jumps over the lazy dog today", 0),
+      doc(2L, "the quick brown fox jumps over the lazy dog tonight", 1),
+      doc(3L, "completely different text with no overlap at all whatsoever", 1))
+    val docsDf = docs.toDF("doc_id", "text", "ts")
+
+    // bucket keys bit-equal to the batch LSH operator
+    val streamKeys = StreamingNearDup.bandBuckets(docsDf)
+      .select($"doc_id", $"band", $"bucket_key")
+      .as[(Long, Int, String)].collect().toSet
+    val batchDocs = docsDf.withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length($"text"))
+    val batchSigs = graft.ops.TextDedup.minhashSignatures(batchDocs)
+      .withColumn("band", ($"j" / 2).cast("int"))
+      .groupBy($"doc_id", $"band")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(j, minhash))), x -> x.minhash)"), ",")
+        .as("bucket_key"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(streamKeys === batchSigs)
+
+    // founder tracking across micro-batches: doc 1 arrives first, doc 2
+    // collides later -> flagged against founder 1; doc 3 never flagged
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingNearDup.nearDups(in.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs.take(1))
+      q.processAllAvailable()
+      in.addData(docs.drop(1))
+      q.processAllAvailable()
+      val dups = spark.table("neardup_out")
+        .select($"doc_id", $"dup_of").distinct().as[(Long, Long)].collect().toSet
+      assert(dups === Set((2L, 1L)))
+      // pair set matches the batch LSH candidate pairs
+      val batchPairs = graft.ops.TextDedup.lshPairs(batchDocs)
+        .as[(Long, Long)].collect().toSet
+      assert(batchPairs === Set((1L, 2L)))
     } finally q.stop()
   }
 
