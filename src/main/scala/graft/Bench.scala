@@ -142,6 +142,15 @@ object Bench {
       name -> time(force(fn(spark, sfDir)))
     }
 
+    // ---- training-data ops timings (documents/embeddings tables at the
+    // same sf; brute kNN is the quadratic baseline the bucketed paths beat)
+    val opsHeadline = Seq("q_dedup_exact", "q_lsh_pairs", "q_ngram_jaccard",
+      "q_simhash", "q_knn_brute", "q_ann_topk", "q_ivf_topk", "q_embed_neardup")
+    val opsTimes = opsHeadline.map { name =>
+      val fn = SparkEntry.queries(name)
+      name -> time(force(fn(spark, sfDir)))
+    }
+
     // ---- quality: the acceptance-gate F1s (cheap here — the stage cache
     // already holds the greedy assignments from the headline pass)
     def evalRow(q: String): Map[String, Double] = {
@@ -265,9 +274,10 @@ object Bench {
     val efficiency = (tLo / tHi) / (scale4N.toDouble / scaleN)
     val total = qTimes.map(_._2).sum
     val qs = qTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val opsJson = opsTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
 
     val jsonLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"ops":$opsJson,""" +
         s""""sf":"$sfDir","scored_pairs":$pairsScored,""" +
         s""""pairwise_f1":${evalGreedy("f1")},"pairwise_precision":${evalGreedy("precision")},""" +
         s""""pairwise_recall":${evalGreedy("recall")},""" +
@@ -325,6 +335,14 @@ object Bench {
          || query | sec |
          || --- | --- |
          |${qTimes.map { case (k, v) => s"| $k | ${f"$v%.3f"} |" }.mkString("\n         |")}
+         |
+         |Training-data ops over the same-sf documents/embeddings tables
+         |(q_knn_brute is the deliberately quadratic correctness baseline;
+         |the LSH/IVF paths are the scale paths):
+         |
+         || op | sec |
+         || --- | --- |
+         |${opsTimes.map { case (k, v) => s"| $k | ${f"$v%.3f"} |" }.mkString("\n         |")}
          |
          |## Scaling over ${K}x-replicated input ($pairsScored scored pairs)
          |
