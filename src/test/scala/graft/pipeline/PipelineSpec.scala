@@ -118,6 +118,22 @@ class PipelineSpec extends SparkSpec {
     assert(giant === exact)
   }
 
+  test("greedy attach loop: durable pinning is output-identical and persists rounds") {
+    val m = Canonicalize.mentions(
+      graft.synth.Synth.transcripts(spark, "/root/testdata/sf0.001")).localCheckpoint()
+    val t = Tokenize.tokens(m).localCheckpoint()
+    val c = Blocking.candidates(t).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("greedy_durable").toString
+    def partition(durable: Option[String]) =
+      GreedyClustering.assignments(m, t, c, maxComponentSize = 2,
+        durableDir = durable)
+        .select($"mention_id", $"cluster_id").as[(Long, Long)].collect()
+        .groupBy(_._2).values.map(_.map(_._1).sorted.toSeq).toSet
+    assert(partition(Some(dir)) === partition(None))
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("greedy_assign_r")))
+  }
+
   test("connected components: durable checkpoint round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("cc_durable").toString
     val edges = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
