@@ -31,13 +31,17 @@ object TextDedup {
       .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
   }
 
-  /** Distinct word 3-gram shingles per doc: (doc_id, shingle). */
+  /** Distinct word 3-gram shingles per doc: (doc_id, shingle). Docs under
+    * 3 words yield none (guarded: Spark's sequence(1, 0) is the
+    * DESCENDING [1, 0], unlike SQL generate_series which is empty). */
   def shingles(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, greatest(size(w) - 2, 0)),
-          |          i -> concat_ws(' ', w[i-1], w[i], w[i+1]))""".stripMargin))
+        """CASE WHEN size(w) >= 3
+          |     THEN transform(sequence(1, size(w) - 2),
+          |                    i -> concat_ws(' ', w[i-1], w[i], w[i+1]))
+          |     ELSE array() END""".stripMargin))
         .as("shingle"))
       .distinct()
 

@@ -46,8 +46,10 @@ object StreamingNearDup {
     docs
       .withColumn("w", split(col("text"), " "))
       .withColumn("sh", expr(
-        """array_distinct(transform(sequence(1, greatest(size(w) - 2, 0)),
-          |                         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))""".stripMargin))
+        """array_distinct(CASE WHEN size(w) >= 3
+          |  THEN transform(sequence(1, size(w) - 2),
+          |                 i -> concat_ws(' ', w[i-1], w[i], w[i+1]))
+          |  ELSE array() END)""".stripMargin))
       .filter(size(col("sh")) > 0)
       .select((Seq(col("doc_id"), col("ts")) ++ sigs): _*)
       .select(col("doc_id"), col("ts"), explode(array(bands: _*)).as("bb"))

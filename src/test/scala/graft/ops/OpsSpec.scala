@@ -36,6 +36,14 @@ class OpsSpec extends SparkSpec {
     assert(ident.toSeq === Seq(1.0))
   }
 
+  test("docs under 3 words produce no shingles (SQL generate_series parity)") {
+    // Spark's sequence(1, 0) is the DESCENDING [1, 0]; ungated it emits
+    // degenerate shingles for 1-2 word docs where the SQL oracle emits none
+    val d = docs((1L, "two words"), (2L, "one"), (3L, "three word doc"))
+    val sh = TextDedup.shingles(d).as[(Long, String)].collect()
+    assert(sh.toSeq === Seq((3L, "three word doc")))
+  }
+
   test("simhash: identical docs share fingerprints, disjoint docs differ") {
     val d = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zeta eta theta iota"))
