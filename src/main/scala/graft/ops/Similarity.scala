@@ -145,13 +145,19 @@ object Similarity {
   def ivfProbes(embeddings: DataFrame, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val cents = embeddings.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(nlist).collect()
-      .map { r =>
-        val id = r.getLong(0)
-        val v = r.getSeq[Float](1).map(_.toDouble)
-        val nrm = math.sqrt(v.foldLeft(0d)((acc, x) => acc + x * x))
-        val arr = v.map(d => s"${java.lang.Double.toString(d)}D").mkString(", ")
-        s"named_struct('cell', ${id}L, 'cnrm', ${java.lang.Double.toString(nrm)}D, 'cv', array($arr))"
-      }.mkString("array(", ", ", ")")
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    ivfProbesWith(embeddings, cents, nprobe)
+  }
+
+  /** The probe projection over an explicit centroid set — shared by the
+    * deterministic (oracled) and the KMeans-trained index. */
+  private def ivfProbesWith(embeddings: DataFrame,
+      centroids: Seq[(Long, Array[Double])], nprobe: Int): DataFrame = {
+    val cents = centroids.map { case (id, v) =>
+      val nrm = math.sqrt(v.foldLeft(0d)((acc, x) => acc + x * x))
+      val arr = v.map(d => s"${java.lang.Double.toString(d)}D").mkString(", ")
+      s"named_struct('cell', ${id}L, 'cnrm', ${java.lang.Double.toString(nrm)}D, 'cv', array($arr))"
+    }.mkString("array(", ", ", ")")
     val probes =
       s"""slice(array_sort(transform($cents, c -> named_struct(
          |  'ncos', -round(aggregate(zip_with(embedding, c.cv, (x, y) -> cast(x as double) * y),
@@ -162,6 +168,24 @@ object Similarity {
       .select(col("vec_id"), posexplode(expr(probes)))
       .select(col("vec_id"), col("col.cell").as("cell"),
         (col("col.ncos") * -1d).as("cosine"), (col("pos") + 1).as("probe_rank"))
+  }
+
+  /** IVF probes over KMeans-TRAINED coarse centroids (MLlib, fixed seed)
+    * — the production-quality cell partition (balanced cells on clustered
+    * corpora), same shuffle-free probe projection as [[ivfProbes]]. Not
+    * SQL-oracle-reproducible (iterative training), so it is fixture-tested
+    * instead; cell ids are the centroid indices. */
+  def ivfProbesTrained(embeddings: DataFrame, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = embeddings
+      .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(feats)
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }.toSeq
+    ivfProbesWith(embeddings, cents, nprobe)
   }
 
   /** IVF-flat ANN top-k: candidates are vectors whose ASSIGNED cell is

@@ -97,6 +97,16 @@ class OpsSpec extends SparkSpec {
     assert(brute == ivf, "nprobe = nlist must equal brute force")
   }
 
+  test("IVF over KMeans-trained centroids: valid probes, covers all vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = Similarity.ivfProbesTrained(emb, nlist = 8, nprobe = 2)
+    val byVec = probes.select($"vec_id", $"probe_rank", $"cell")
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+    assert(byVec.size === emb.count())
+    assert(byVec.values.forall(ps => ps.map(_._2).sorted.toSeq == Seq(1, 2)))
+    assert(probes.select($"cell").distinct().count() > 1) // non-degenerate cells
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val nd = Similarity.embedNearDups(emb, minCosine = 0.3)
