@@ -18,9 +18,10 @@ run / outputStrategy := Some(StdoutOutput)
 // local-cluster[] masters (Bench scaling phases) need a Spark distribution
 // to launch per-executor JVMs from.
 run / envVars ++= Map(
-  "SPARK_HOME" -> "/opt/spark",
+  // respect an existing SPARK_HOME; default to this sandbox's distribution
+  "SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"),
   // the launcher's getScalaVersion() needs this outside bin/spark-* scripts
-  "SPARK_SCALA_VERSION" -> "2.13",
+  "SPARK_SCALA_VERSION" -> sys.env.getOrElse("SPARK_SCALA_VERSION", "2.13"),
 )
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

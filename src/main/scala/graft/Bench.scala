@@ -129,7 +129,6 @@ object Bench {
     val scale4N = scaleN * 4
     val execCores = 1
     val execMemMb = 3072
-    val cpusLo = math.max(cpusHi / 4, 1)
     val tokensPath = Files.createTempDirectory("graft_bench_tokens").toString + "/tokens"
 
     // ---- phase 1: headline query timings at full parallelism
@@ -285,7 +284,7 @@ object Bench {
         s""""paired_recall":${evalPaired("recall")},""" +
         s""""fidelity_f1":${fidelity("f1")},""" +
         s""""scale_n":$scaleN,"scale_4n":$scale4N,""" +
-        s""""exec_cores":$execCores,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,""" +
+        s""""exec_cores":$execCores,"headline_cpus":$cpusHi,""" +
         s""""score_sec_lo":${f"$tLo%.3f"},"score_sec_hi":${f"$tHi%.3f"},""" +
         s""""cluster_sec_lo":${f"$tClusterLo%.3f"},"cluster_sec_hi":${f"$tClusterHi%.3f"},""" +
         s""""pairs_per_sec_lo":${f"$thrLo%.0f"},"pairs_per_sec_hi":${f"$thrHi%.0f"},""" +

@@ -71,17 +71,9 @@ object Similarity {
 
   /** Drop (t, sig) buckets holding more than `cap` vectors — the
     * hot-bucket valve for sign-pattern LSH (e.g. the all-positive bucket
-    * on non-centered data): a bucket of m vectors emits m^2 candidate
-    * rows, so capping bounds the quadratic step; the other tables still
-    * cover its members. */
+    * on non-centered data); the other tables still cover its members. */
   private def capBuckets(sigs: DataFrame, cap: Option[Int]): DataFrame =
-    cap match {
-      case None => sigs
-      case Some(c) =>
-        val w = Window.partitionBy(col("t"), col("sig"))
-        sigs.withColumn("bsz", count(lit(1)).over(w))
-          .filter(col("bsz") <= c).drop("bsz")
-    }
+    Valves.capGroups(sigs, Seq(col("t"), col("sig")), cap)
 
   /** ANN top-k via multi-table LSH buckets: candidate pairs share a bucket
     * in ANY table; quadratic work confined to buckets. */

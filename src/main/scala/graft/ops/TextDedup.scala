@@ -77,14 +77,7 @@ object TextDedup {
       .groupBy(col("doc_id"), col("band"))
       .agg(array_join(expr("transform(array_sort(collect_list(struct(j, minhash))), x -> x.minhash)"), ",")
         .as("bucket_key"))
-    val buckets = maxBucket match {
-      case None => all
-      case Some(cap) =>
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("band"), col("bucket_key"))
-        all.withColumn("bsz", count(lit(1)).over(w))
-          .filter(col("bsz") <= cap).drop("bsz")
-    }
+    val buckets = Valves.capGroups(all, Seq(col("band"), col("bucket_key")), maxBucket)
     buckets.as("x").join(buckets.as("y"), Seq("band", "bucket_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

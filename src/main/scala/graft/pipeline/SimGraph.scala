@@ -109,14 +109,19 @@ object SimGraph {
   }
 
   /** The S-3 edges sink: one row per unordered surviving pair,
-    * (source, target, weight, common_token_cnt) — IO.java:48-56. */
+    * (source, target, weight, common_token_cnt) — IO.java:48-56. The two
+    * directed scores sum identical terms in different fold orders, so they
+    * can differ in the last ulp; min() (not an arbitrary dropDuplicates
+    * pick) keeps the output — and the oracle compare — deterministic. */
   def simGraphEdges(tokens: DataFrame, candidates: DataFrame): DataFrame =
     rescoredPairs(tokens, candidates)
       .select(least(col("dst_id"), col("org_id")).as("source"),
         greatest(col("dst_id"), col("org_id")).as("target"),
-        round(col("bi_sim"), 6).as("weight"),
-        col("common_cnt").as("common_token_cnt"))
-      .dropDuplicates("source", "target")
+        round(col("bi_sim"), 6).as("w"),
+        col("common_cnt"))
+      .groupBy(col("source"), col("target"))
+      .agg(min(col("w")).as("weight"),
+        min(col("common_cnt")).as("common_token_cnt"))
 
   /** The S-3 vertices sink: (id, label, weight, res_id) — IO.java:40-47;
     * res_id = first gold id of the name (min for determinism). */
@@ -128,10 +133,6 @@ object SimGraph {
 
   // ---------------------------------------------------------------- oracle
 
-  /** DuckDB CTEs mirroring [[elementStats]], including American Soundex as
-    * a pure-SQL `list_reduce` fold (acc = 'digits~prevCode'; h/w carry the
-    * previous code, vowels/y reset it, consecutive equal codes collapse)
-    * and the nickname map inlined as VALUES. Append after Blocking.ctes. */
   /** American Soundex of a (lowercase alpha) SQL expression as a pure
     * DuckDB `list_reduce` fold — acc = 'digits~prevCode'; h/w carry the
     * previous code, vowels/y reset it, consecutive equal codes collapse. */
@@ -154,6 +155,8 @@ object SimGraph {
        |      END), '~', 1) || '000', 1, 3)""".stripMargin
   }
 
+  /** DuckDB CTEs mirroring [[elementStats]] — Soundex via [[soundexSql]],
+    * the nickname map inlined as VALUES. Append after Blocking.ctes. */
   val elementStatsCtes: String = {
     val nickRows = graft.synth.NamePools.nicknameGroup.toSeq.sorted
       .map { case (t, g) => s"('$t','$g')" }.mkString(", ")

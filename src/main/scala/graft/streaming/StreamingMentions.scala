@@ -91,11 +91,13 @@ object StreamingMentions {
   }
 
   /** Streaming exact dedup over a document stream: first writer wins per
-    * md5(text) inside the watermark horizon (dropDuplicates keyed on the
-    * hash — per-key state store, bounded by the watermark). */
+    * md5(text) inside the watermark horizon. Uses
+    * dropDuplicatesWithinWatermark so the per-hash state entries ARE
+    * evicted once the watermark passes them — plain dropDuplicates on a
+    * non-event-time key would grow state forever on a continuous feed. */
   def dedupedDocs(docs: DataFrame, lateness: String = "10 minutes"): DataFrame =
     docs
       .withColumn("text_hash", md5(col("text")))
       .withWatermark("ts", lateness)
-      .dropDuplicates("text_hash")
+      .dropDuplicatesWithinWatermark("text_hash")
 }

@@ -59,14 +59,16 @@ object StreamingNearDup {
 
   /** Near-dup candidates: (doc_id, dup_of, band, bucket_key), one row per
     * colliding band. First writer per bucket wins founder; ties inside one
-    * micro-batch break on (ts, doc_id) for determinism. */
-  def nearDups(docs: DataFrame, lateness: String = "10 minutes",
+    * micro-batch break on (ts, doc_id) for determinism. The founder-state
+    * timeout horizon is derived from `latenessMinutes` so the watermark
+    * and the state lifetime move together. */
+  def nearDups(docs: DataFrame, latenessMinutes: Int = 10,
       nHashes: Int = 8, rowsPerBand: Int = 2): Dataset[DupOut] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val horizonMs = 10 * 60 * 1000L
+    val horizonMs = latenessMinutes * 60 * 1000L
     bandBuckets(docs, nHashes, rowsPerBand)
-      .withWatermark("ts", lateness)
+      .withWatermark("ts", s"$latenessMinutes minutes")
       .as[BucketRow]
       .groupByKey(r => (r.band, r.bucket_key))
       .flatMapGroupsWithState[FounderState, DupOut](
