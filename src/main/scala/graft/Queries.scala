@@ -169,6 +169,22 @@ object Queries {
           |FROM media_features""".stripMargin,
         Multimodal.ctes))
     ),
+    "q_media_resize" -> (
+      ((s: SparkSession, dir: String) =>
+        Multimodal.resize(Multimodal.mediaTable(documents(s, dir))).toDF()),
+      Some(rawCtes(
+        """SELECT doc_id, media_type, width, height, resized_bytes, checksum
+          |FROM media_resized""".stripMargin,
+        Multimodal.ctes))
+    ),
+    "q_media_frames" -> (
+      ((s: SparkSession, dir: String) =>
+        Multimodal.frameSample(Multimodal.mediaTable(documents(s, dir))).toDF()),
+      Some(rawCtes(
+        """SELECT doc_id, frame_idx, frame_bytes, checksum
+          |FROM media_frames""".stripMargin,
+        Multimodal.ctes))
+    ),
 
     // S-1/input (SURVEY.md §2.1): the synthesized transcripts corpus itself.
     "q_transcripts" -> (

@@ -58,10 +58,53 @@ object Multimodal {
     }
   }
 
+  final case class ResizedRow(doc_id: Long, media_type: String, width: Int,
+      height: Int, resized_bytes: Long, checksum: Long)
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame_bytes: Long,
+      checksum: Long)
+
+  /** STUB RESIZE — a real resize would decode, scale, re-encode inside the
+    * same per-partition codec context; the stand-in truncates the payload
+    * to the target raster budget and checksums it. The plumbing (typed
+    * rows, per-partition batching, fixed output dims) is production. */
+  def resize(media: Dataset[MediaRow], targetW: Int = 224, targetH: Int = 224): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    val budget = targetW.toLong * targetH / 8
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val take = math.min(r.blob.length.toLong, budget).toInt
+        var s = 0L
+        var i = 0
+        while (i < take) { s += r.blob(i) & 0xff; i += 1 }
+        ResizedRow(r.doc_id, r.media_type, targetW, targetH, take.toLong, s)
+      }
+    }
+  }
+
+  /** STUB FRAME SAMPLER — treats the payload as fixed-size "frames"
+    * (`frameBytes` each) and emits every `everyN`-th one with a checksum:
+    * the one-to-many explode shape of real video frame sampling (a decoder
+    * would seek + decode keyframes in the same per-partition loop). */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int = 256,
+      everyN: Int = 2): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val nFrames = (r.blob.length + frameBytes - 1) / frameBytes
+      (0 until nFrames by everyN).iterator.map { f =>
+        val start = f * frameBytes
+        val end = math.min(start + frameBytes, r.blob.length)
+        var s = 0L
+        var i = start
+        while (i < end) { s += r.blob(i) & 0xff; i += 1 }
+        FrameRow(r.doc_id, f, (end - start).toLong, s)
+      }
+    }
+  }
+
   // ---------------------------------------------------------------- oracle
 
-  /** The fake decode is byte-arithmetic over ascii text, so the oracle can
-    * reproduce it from the text column. */
+  /** The fake decode/resize/sample are byte-arithmetic over ascii text, so
+    * the oracle reproduces them from the text column. */
   val ctes: String =
     """media_features AS (
       |  SELECT doc_id, 'image' AS media_type,
@@ -71,5 +114,22 @@ object Multimodal {
       |           AS sum_bytes,
       |         length(text)::BIGINT AS n_bytes
       |  FROM documents
+      |),
+      |media_resized AS (
+      |  SELECT doc_id, 'image' AS media_type, 224 AS width, 224 AS height,
+      |         least(length(text)::BIGINT, 224 * 224 // 8) AS resized_bytes,
+      |         coalesce(list_sum([ord(x) FOR x IN
+      |           split(substr(text, 1, (224 * 224 // 8)::INT), '')]), 0)::BIGINT
+      |           AS checksum
+      |  FROM documents
+      |),
+      |media_frames AS (
+      |  SELECT d.doc_id, f.f::INT AS frame_idx,
+      |         length(substr(d.text, f.f * 256 + 1, 256))::BIGINT AS frame_bytes,
+      |         list_sum([ord(x) FOR x IN
+      |           split(substr(d.text, f.f * 256 + 1, 256), '')])::BIGINT AS checksum
+      |  FROM documents d,
+      |       LATERAL (SELECT unnest(generate_series(0,
+      |                  ((length(d.text) + 255) // 256) - 1, 2)) AS f) f
       |)""".stripMargin
 }

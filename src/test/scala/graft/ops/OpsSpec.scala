@@ -162,4 +162,19 @@ class OpsSpec extends SparkSpec {
     assert(f.n_bytes === 6L)
     assert(f.sum_bytes === "abcdef".map(_.toLong).sum)
   }
+
+  test("media resize and frame-sample plumbing: budgets, indices, checksums") {
+    val text = Seq.fill(130)("abcd").mkString // 520 bytes -> 3 frames of 256
+    val media = Multimodal.mediaTable(docs((9L, text)))
+    val r = Multimodal.resize(media, targetW = 16, targetH = 16).collect().head
+    assert(r.width === 16 && r.height === 16)
+    assert(r.resized_bytes === math.min(520L, 16L * 16 / 8)) // 32-byte budget
+    assert(r.checksum === text.take(32).map(_.toLong).sum)
+    val frames = Multimodal.frameSample(media, frameBytes = 256, everyN = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2)) // frames 0,2 of 0..2
+    assert(frames(0).frame_bytes === 256L)
+    assert(frames(1).frame_bytes === 520L - 512L)
+    assert(frames(1).checksum === text.drop(512).map(_.toLong).sum)
+  }
 }
