@@ -169,6 +169,12 @@ object Queries {
           |FROM media_features""".stripMargin,
         Multimodal.ctes))
     ),
+    "q_pii_scrub" -> (
+      ((s: SparkSession, dir: String) => TextAnalysis.piiScrub(documents(s, dir))),
+      Some(rawCtes(
+        "SELECT doc_id, n_emails, n_ips, n_phones, clean_hash FROM pii_scrub",
+        TextAnalysis.ctes))
+    ),
     "q_media_resize" -> (
       ((s: SparkSession, dir: String) =>
         Multimodal.resize(Multimodal.mediaTable(documents(s, dir))).toDF()),

@@ -80,6 +80,28 @@ object TextAnalysis {
           |  (acc, w) -> (acc * 131 + cast(conv(substring(md5(w), 1, 8), 16, 10) as long))
           |              % 2147483648L)""".stripMargin).as("fingerprint"))
 
+  /** PII patterns — restricted to syntax with identical semantics in Java
+    * regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs, and NO
+    * backslashes (metacharacters via character classes instead), so the
+    * same literal text survives Scala, Spark-SQL-literal, and DuckDB
+    * string escaping unchanged. */
+  val emailRx = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  val ipRx = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  val phoneRx = "[+]?[0-9]{3}-[0-9]{3}-[0-9]{4}|[+]?[0-9]{10,12}"
+
+  /** PII scrub: per-doc counts of emails / IPv4s / phone numbers and the
+    * md5 of the redacted text (emails -> `<email>`, IPs -> `<ip>`, phones
+    * -> `<phone>`, applied in that order). Pure column expressions — one
+    * codegen'd scan, the shape a 100-TB redaction pass needs. */
+  def piiScrub(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '$emailRx', 0)")).cast("long").as("n_emails"),
+      size(expr(s"regexp_extract_all(text, '$ipRx', 0)")).cast("long").as("n_ips"),
+      size(expr(s"regexp_extract_all(text, '$phoneRx', 0)")).cast("long").as("n_phones"),
+      md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        emailRx, "<email>"), ipRx, "<ip>"), phoneRx, "<phone>")).as("clean_hash"))
+
   // ---------------------------------------------------------------- oracle
 
   private def sqlList(lang: String): String =
@@ -133,6 +155,16 @@ object TextAnalysis {
        |           list_prepend(0::BIGINT,
        |             [ ('0x' || substr(md5(w), 1, 8))::BIGINT FOR w IN string_split(text, ' ') ]),
        |           (acc, x) -> (acc * 131 + x) % 2147483648) AS fingerprint
+       |  FROM documents
+       |),
+       |pii_scrub AS (
+       |  SELECT doc_id,
+       |         len(regexp_extract_all(text, '$emailRx'))::BIGINT AS n_emails,
+       |         len(regexp_extract_all(text, '$ipRx'))::BIGINT AS n_ips,
+       |         len(regexp_extract_all(text, '$phoneRx'))::BIGINT AS n_phones,
+       |         md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |           '$emailRx', '<email>', 'g'), '$ipRx', '<ip>', 'g'),
+       |           '$phoneRx', '<phone>', 'g')) AS clean_hash
        |  FROM documents
        |)""".stripMargin
 }

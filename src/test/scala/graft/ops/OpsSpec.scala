@@ -163,6 +163,22 @@ class OpsSpec extends SparkSpec {
     assert(f.sum_bytes === "abcdef".map(_.toLong).sum)
   }
 
+  test("PII scrub counts and redacts emails, IPs, phone numbers") {
+    val d = docs(
+      (1L, "contact bob.smith@example.com or 192.168.0.1 or 555-123-4567 now"),
+      (2L, "clean text with no pii at all"))
+    val out = TextAnalysis.piiScrub(d).as[(Long, Long, Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 1L && out(1L)._3 === 1L && out(1L)._4 === 1L)
+    assert(out(2L)._2 === 0L && out(2L)._3 === 0L && out(2L)._4 === 0L)
+    // redaction hash differs from raw for the PII doc, equals raw for clean
+    import org.apache.spark.sql.functions.md5
+    val raw = d.select($"doc_id", md5($"text").as("h")).as[(Long, String)]
+      .collect().toMap
+    assert(out(1L)._5 !== raw(1L))
+    assert(out(2L)._5 === raw(2L))
+  }
+
   test("media resize and frame-sample plumbing: budgets, indices, checksums") {
     val text = Seq.fill(130)("abcd").mkString // 520 bytes -> 3 frames of 256
     val media = Multimodal.mediaTable(docs((9L, text)))
