@@ -169,6 +169,12 @@ object Queries {
           |FROM media_features""".stripMargin,
         Multimodal.ctes))
     ),
+    "q_repetition" -> (
+      ((s: SparkSession, dir: String) => TextAnalysis.repetition(documents(s, dir))),
+      Some(rawCtes(
+        "SELECT doc_id, top_word_ratio, dup_3gram_ratio FROM repetition",
+        TextAnalysis.ctes))
+    ),
     "q_pii_scrub" -> (
       ((s: SparkSession, dir: String) => TextAnalysis.piiScrub(documents(s, dir))),
       Some(rawCtes(

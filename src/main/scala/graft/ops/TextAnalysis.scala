@@ -80,6 +80,27 @@ object TextAnalysis {
           |  (acc, w) -> (acc * 131 + cast(conv(substring(md5(w), 1, 8), 16, 10) as long))
           |              % 2147483648L)""".stripMargin).as("fingerprint"))
 
+  /** Gopher-style repetition signals: fraction of the doc taken by its
+    * most frequent word, and fraction of word-3-grams that are duplicates
+    * — the standard boilerplate/loop filters of pretraining pipelines.
+    * Pure higher-order column expressions, one scan. */
+  def repetition(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("top_word_ratio", round(expr(
+        """array_max(transform(array_distinct(w),
+          |  d -> size(filter(w, x -> x = d)))) / cast(size(w) as double)""".stripMargin), 6))
+      .withColumn("g", expr(
+        """CASE WHEN size(w) >= 3
+          |     THEN transform(sequence(1, size(w) - 2),
+          |                    i -> concat_ws(' ', w[i-1], w[i], w[i+1]))
+          |     ELSE array() END""".stripMargin))
+      .withColumn("dup_3gram_ratio", round(expr(
+        """CASE WHEN size(g) > 0
+          |     THEN (size(g) - size(array_distinct(g))) / cast(size(g) as double)
+          |     ELSE 0.0D END""".stripMargin), 6))
+      .select(col("doc_id"), col("top_word_ratio"), col("dup_3gram_ratio"))
+
   /** PII patterns — restricted to syntax with identical semantics in Java
     * regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs, and NO
     * backslashes (metacharacters via character classes instead), so the
@@ -156,6 +177,22 @@ object TextAnalysis {
        |             [ ('0x' || substr(md5(w), 1, 8))::BIGINT FOR w IN string_split(text, ' ') ]),
        |           (acc, x) -> (acc * 131 + x) % 2147483648) AS fingerprint
        |  FROM documents
+       |),
+       |repetition AS (
+       |  SELECT doc_id,
+       |         round(list_max([len([x FOR x IN w IF x = d]) FOR d IN list_distinct(w)])
+       |               / len(w)::DOUBLE, 6) AS top_word_ratio,
+       |         round(CASE WHEN len(g) > 0
+       |                    THEN (len(g) - len(list_distinct(g))) / len(g)::DOUBLE
+       |                    ELSE 0.0 END, 6) AS dup_3gram_ratio
+       |  FROM (
+       |    SELECT doc_id, w,
+       |           CASE WHEN len(w) >= 3
+       |                THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                      FOR i IN generate_series(1, len(w) - 2)]
+       |                ELSE [] END AS g
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |  )
        |),
        |pii_scrub AS (
        |  SELECT doc_id,

@@ -163,6 +163,18 @@ class OpsSpec extends SparkSpec {
     assert(f.sum_bytes === "abcdef".map(_.toLong).sum)
   }
 
+  test("repetition signals: looping text scores high, varied text low") {
+    val d = docs(
+      (1L, "spam spam spam spam spam spam"),       // one word repeated
+      (2L, "a b c a b c a b c a b c"),             // repeated 3-grams
+      (3L, "all words here are fully distinct ok")) // clean
+    val out = TextAnalysis.repetition(d).as[(Long, Double, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 === 1.0)
+    assert(out(2L)._2 > 0.5)   // 10 3-grams, only 3 distinct
+    assert(out(3L)._1 < 0.2 && out(3L)._2 === 0.0)
+  }
+
   test("PII scrub counts and redacts emails, IPs, phone numbers") {
     val d = docs(
       (1L, "contact bob.smith@example.com or 192.168.0.1 or 555-123-4567 now"),
