@@ -81,6 +81,44 @@ object Bench {
     pipeline.GreedyClustering.assignments(m, t, pipeline.Blocking.candidates(t))
   }
 
+  /** Spark jobs launched while `f` runs — the fixed-cost unit of the
+    * iterative stages (each job pays scheduler + barrier + result-fetch
+    * latency regardless of executor count). */
+  private def countJobs(spark: SparkSession)(f: => Unit): Int = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { f; Thread.sleep(200) } // let the listener bus drain
+    finally spark.sparkContext.removeSparkListener(l)
+    counter.get()
+  }
+
+  /** Per-stage decomposition of the clustering job at one cluster size:
+    * (blocking sec, cc sec, greedy sec, cc jobs, greedy jobs). Blocking is
+    * the one-shot shuffle stage; CC and greedy are iterative (many small
+    * jobs — per-job fixed cost, not shuffle volume, bounds them at toy
+    * input). Candidates are materialized between stages so each timing
+    * isolates one stage. */
+  private def clusterStages(spark: SparkSession, mentionsPath: String,
+      tokensPath: String): (Double, Double, Double, Int, Int) = {
+    val m = spark.read.parquet(mentionsPath)
+    val t = spark.read.parquet(tokensPath)
+    val cand = pipeline.Blocking.candidates(t)
+    val tBlock = time(force(cand))
+    val candCk = cand.localCheckpoint()
+    var ccJobs = 0
+    val tCc = time { ccJobs = countJobs(spark)(
+      force(pipeline.ConnectedComponents.assignments(m, candCk))) }
+    var gJobs = 0
+    val tGreedy = time { gJobs = countJobs(spark)(
+      force(pipeline.GreedyClustering.assignments(m, t, candCk))) }
+    (tBlock, tCc, tGreedy, ccJobs, gJobs)
+  }
+
   /** Primary scaling job — the pairwise SCORING kernel (the north metric's
     * scored-pairs/sec): batched Jaro-Winkler + Levenshtein + Monge-Elkan
     * Catalyst expressions over every materialized candidate pair.
@@ -158,6 +196,21 @@ object Bench {
     }
     val evalGreedy = evalRow("q_eval_greedy")
     val evalPaired = evalRow("q_eval_paired_greedy")
+
+    // ---- ANN index quality: recall@5 of each approximate path vs the
+    // brute-force top-5 (all three results are session-memoized, so this
+    // is a pair of cheap joins on the already-computed tables)
+    def recallAt5(approxQ: String): Double = {
+      import org.apache.spark.sql.functions._
+      val brute = SparkEntry.queries("q_knn_brute")(spark, sfDir)
+        .select(col("vec_id"), col("neighbor_id"))
+      val approx = SparkEntry.queries(approxQ)(spark, sfDir)
+        .select(col("vec_id"), col("neighbor_id"))
+      val hit = brute.join(approx, Seq("vec_id", "neighbor_id"), "left_semi").count()
+      hit.toDouble / brute.count()
+    }
+    val annRecall = recallAt5("q_ann_topk")
+    val ivfRecall = recallAt5("q_ivf_topk")
 
     // fidelity: production clustering vs the EXACT reference BFS
     // (maxComponentSize = infinity — single task per component, the
@@ -259,14 +312,16 @@ object Bench {
     spark = clusterSession(scale4N, execCores, execMemMb, scaleParts)
     force(scoringKernel(spark, scaledJoined)) // warm-up (JIT per executor JVM)
     val tHi = { val s = spark; median3(time(force(scoringKernel(s, scaledJoined)))) }
-    val tClusterHi = { val s = spark; time(force(clusterCore(s, scaledMentions, scaledTokens))) }
+    val stagesHi = { val s = spark; clusterStages(s, scaledMentions, scaledTokens) }
     spark.stop()
 
     spark = clusterSession(scaleN, execCores, execMemMb, scaleParts)
     force(scoringKernel(spark, scaledJoined))
     val tLo = { val s = spark; median3(time(force(scoringKernel(s, scaledJoined)))) }
-    val tClusterLo = { val s = spark; time(force(clusterCore(s, scaledMentions, scaledTokens))) }
+    val stagesLo = { val s = spark; clusterStages(s, scaledMentions, scaledTokens) }
     spark.stop()
+    val tClusterHi = stagesHi._1 + stagesHi._2 + stagesHi._3
+    val tClusterLo = stagesLo._1 + stagesLo._2 + stagesLo._3
 
     val thrHi = pairsScored / tHi
     val thrLo = pairsScored / tLo
@@ -287,6 +342,11 @@ object Bench {
         s""""exec_cores":$execCores,"headline_cpus":$cpusHi,""" +
         s""""score_sec_lo":${f"$tLo%.3f"},"score_sec_hi":${f"$tHi%.3f"},""" +
         s""""cluster_sec_lo":${f"$tClusterLo%.3f"},"cluster_sec_hi":${f"$tClusterHi%.3f"},""" +
+        s""""block_sec_lo":${f"${stagesLo._1}%.3f"},"block_sec_hi":${f"${stagesHi._1}%.3f"},""" +
+        s""""cc_sec_lo":${f"${stagesLo._2}%.3f"},"cc_sec_hi":${f"${stagesHi._2}%.3f"},""" +
+        s""""greedy_sec_lo":${f"${stagesLo._3}%.3f"},"greedy_sec_hi":${f"${stagesHi._3}%.3f"},""" +
+        s""""cc_jobs":${stagesHi._4},"greedy_jobs":${stagesHi._5},""" +
+        s""""ann_recall_at5":${f"$annRecall%.4f"},"ivf_recall_at5":${f"$ivfRecall%.4f"},""" +
         s""""pairs_per_sec_lo":${f"$thrLo%.0f"},"pairs_per_sec_hi":${f"$thrHi%.0f"},""" +
         s""""valve_cap":${valve._1},"valve_exact_pairs":${valve._2},"valve_exact_sec":${f"${valve._3}%.3f"},""" +
         s""""valve_capped_pairs":${valve._4},"valve_capped_sec":${f"${valve._5}%.3f"},""" +
@@ -368,8 +428,36 @@ object Bench {
          |
          |Context: full clustering job (blocking + CC + greedy) over the same
          |input: $scaleN execs ${f"$tClusterLo%.3f"}s, $scale4N execs
-         |${f"$tClusterHi%.3f"}s (shuffle-bound; efficiency
-         |${f"${(tClusterLo / tClusterHi) / 4.0}%.3f"}).
+         |${f"$tClusterHi%.3f"}s (efficiency
+         |${f"${(tClusterLo / tClusterHi) / 4.0}%.3f"}), decomposed per stage
+         |to attribute the gap:
+         |
+         || stage | $scaleN-exec sec | $scale4N-exec sec | efficiency | Spark jobs |
+         || --- | --- | --- | --- | --- |
+         || blocking (one-shot shuffle) | ${f"${stagesLo._1}%.3f"} | ${f"${stagesHi._1}%.3f"} | ${f"${(stagesLo._1 / stagesHi._1) / 4.0}%.3f"} | few |
+         || connected components (iterative) | ${f"${stagesLo._2}%.3f"} | ${f"${stagesHi._2}%.3f"} | ${f"${(stagesLo._2 / stagesHi._2) / 4.0}%.3f"} | ${stagesHi._4} |
+         || greedy clustering (iterative) | ${f"${stagesLo._3}%.3f"} | ${f"${stagesHi._3}%.3f"} | ${f"${(stagesLo._3 / stagesHi._3) / 4.0}%.3f"} | ${stagesHi._5} |
+         |
+         |The iterative stages run ${stagesHi._4 + stagesHi._5} sequential
+         |Spark jobs (loop rounds x actions): each pays scheduler, barrier
+         |and result-fetch latency that is CONSTANT in executor count, so at
+         |toy per-round data volumes those stages cannot show executor
+         |scaling — their per-round work grows with corpus size while the
+         |per-round fixed cost does not, which is exactly why the
+         |shuffle-bound one-shot stage (blocking) and the compute kernel
+         |above carry the scaling contract.
+         |
+         |## ANN index quality (tracked per round)
+         |
+         |recall@5 vs the exact brute-force cosine top-5 on the same
+         |embeddings (bucketed candidate generation means recall < 1 by
+         |design; the knobs — tables/planes, nlist/nprobe — trade recall
+         |for the quadratic-work bound):
+         |
+         || path | recall@5 |
+         || --- | --- |
+         || multi-table random-hyperplane LSH (q_ann_topk) | ${f"$annRecall%.4f"} |
+         || IVF-flat, deterministic centroids (q_ivf_topk) | ${f"$ivfRecall%.4f"} |
          |
          |## spark-submit launch path
          |

@@ -41,6 +41,11 @@ object Queries {
   private def greedyAssignments(s: SparkSession, dir: String) =
     cachedStage(s, dir, "greedy")(
       GreedyClustering.assignments(mentions(s, dir), tokens(s, dir), candidates(s, dir)))
+  private def tokenDf(s: SparkSession, dir: String) =
+    cachedStage(s, dir, "tokenDf")(Blocking.tokenDf(tokens(s, dir)))
+  private def elementStats(s: SparkSession, dir: String) =
+    cachedStage(s, dir, "elementStats")(
+      SimGraph.elementStats(tokens(s, dir), Some(tokenDf(s, dir))))
 
   /** Assemble a DuckDB query from the shared CTE chain. */
   private def withCtes(body: String, ctes: String*): String =
@@ -57,6 +62,29 @@ object Queries {
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddings(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  // Dedup-chain stages share the same memoizer as the pipeline stages so
+  // q_minhash_sigs / q_lsh_pairs / q_ngram_jaccard compute the
+  // shingle→minhash→bucket chain once per process, like a real pipelined
+  // run that checkpoints signatures.
+  private def docShingles(s: SparkSession, dir: String) =
+    cachedStage(s, dir, "docShingles")(TextDedup.shingles(documents(s, dir)))
+  private def minhashSigs(s: SparkSession, dir: String) =
+    cachedStage(s, dir, "minhashSigs")(
+      TextDedup.minhashSignatures(documents(s, dir),
+        shinglesDf = Some(docShingles(s, dir))))
+  private def lshPairsStage(s: SparkSession, dir: String) =
+    cachedStage(s, dir, "lshPairs")(
+      TextDedup.lshPairs(documents(s, dir), sigsDf = Some(minhashSigs(s, dir))))
+
+  // ANN results are memoized so Bench can derive recall@k vs the brute
+  // baseline from the same computation it times (no second brute pass).
+  private def knnBruteStage(s: SparkSession, dir: String) =
+    cachedStage(s, dir, "knnBrute")(Similarity.knnBrute(embeddings(s, dir)))
+  private def annTopKStage(s: SparkSession, dir: String) =
+    cachedStage(s, dir, "annTopK")(Similarity.annTopK(embeddings(s, dir)))
+  private def ivfTopKStage(s: SparkSession, dir: String) =
+    cachedStage(s, dir, "ivfTopK")(Similarity.ivfTopK(embeddings(s, dir)))
 
   /** DuckDB query against the driver-registered raw tables (documents /
     * embeddings), no transcript CTE chain needed. */
@@ -85,15 +113,17 @@ object Queries {
              |FROM documents""".stripMargin)
     ),
     "q_minhash_sigs" -> (
-      ((s: SparkSession, dir: String) => TextDedup.minhashSignatures(documents(s, dir))),
+      ((s: SparkSession, dir: String) => minhashSigs(s, dir)),
       Some(rawCtes("SELECT doc_id, j, minhash FROM minhash_sigs", TextDedup.ctes))
     ),
     "q_lsh_pairs" -> (
-      ((s: SparkSession, dir: String) => TextDedup.lshPairs(documents(s, dir))),
+      ((s: SparkSession, dir: String) => lshPairsStage(s, dir)),
       Some(rawCtes("SELECT a, b FROM lsh_pairs", TextDedup.ctes))
     ),
     "q_ngram_jaccard" -> (
-      ((s: SparkSession, dir: String) => TextDedup.ngramJaccard(documents(s, dir))),
+      ((s: SparkSession, dir: String) => TextDedup.ngramJaccard(documents(s, dir),
+        shinglesDf = Some(docShingles(s, dir)),
+        pairsDf = Some(lshPairsStage(s, dir)))),
       Some(rawCtes(
         "SELECT a, b, inter_cnt, a_cnt, b_cnt, jaccard FROM ngram_jaccard",
         TextDedup.ctes))
@@ -105,7 +135,7 @@ object Queries {
 
     // ---- training-data ops: similarity search over `embeddings`.
     "q_knn_brute" -> (
-      ((s: SparkSession, dir: String) => Similarity.knnBrute(embeddings(s, dir))),
+      ((s: SparkSession, dir: String) => knnBruteStage(s, dir)),
       Some(rawCtes(
         "SELECT vec_id, neighbor_id, cosine, rank FROM knn_brute",
         Similarity.ctes))
@@ -115,7 +145,7 @@ object Queries {
       Some(rawCtes("SELECT vec_id, t, sig FROM lsh_sigs", Similarity.ctes))
     ),
     "q_ann_topk" -> (
-      ((s: SparkSession, dir: String) => Similarity.annTopK(embeddings(s, dir))),
+      ((s: SparkSession, dir: String) => annTopKStage(s, dir)),
       Some(rawCtes("SELECT vec_id, neighbor_id, cosine, rank FROM ann_topk",
         Similarity.ctes))
     ),
@@ -129,7 +159,7 @@ object Queries {
         Similarity.ctes))
     ),
     "q_ivf_topk" -> (
-      ((s: SparkSession, dir: String) => Similarity.ivfTopK(embeddings(s, dir))),
+      ((s: SparkSession, dir: String) => ivfTopKStage(s, dir)),
       Some(rawCtes("SELECT vec_id, neighbor_id, cosine, rank FROM ivf_topk",
         Similarity.ctes))
     ),
@@ -235,6 +265,18 @@ object Queries {
         Canonicalize.ctes))
     ),
 
+    // Marker-free extraction (the stage a user with raw unmarked
+    // transcripts needs): stoplist/shape gaps-and-islands rule; on the
+    // contract corpus it reproduces the planted mentions exactly, which
+    // the oracle checks row-for-row.
+    "q_mention_events_auto" -> (
+      ((s: SparkSession, dir: String) =>
+        Canonicalize.mentionEventsAuto(transcripts(s, dir))),
+      Some(withCtes(
+        "SELECT conv_id, turn_idx, name FROM mention_events_auto",
+        Canonicalize.autoCtes))
+    ),
+
     // Stage 2: tokens + features + name-part tagging (T-2/T-4, F-1/F-2).
     "q_tokens" -> (
       ((s: SparkSession, dir: String) => tokens(s, dir)),
@@ -332,10 +374,36 @@ object Queries {
       None
     ),
 
+    // Machine-checked FIDELITY GATE for the greedy family (which is
+    // inherently non-SQL): the production clustering's partition must
+    // EQUAL the exact whole-component reference BFS's partition on this
+    // corpus. Both labelings are normalized to min-member-id (equal
+    // normalized labels per mention ⟺ identical partitions), and the
+    // query returns the disagreement count — oracle: a constant 0. This
+    // converts the BENCH.md fidelity prose into a hard per-round check.
+    "q_fidelity_greedy" -> (
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        def norm(df: DataFrame, out: String) =
+          df.select($"mention_id", $"cluster_id")
+            .join(df.groupBy($"cluster_id").agg(min($"mention_id").as(out)),
+              "cluster_id")
+            .select($"mention_id", col(out))
+        val prod = norm(greedyAssignments(s, dir), "prod_label")
+        val exact = norm(cachedStage(s, dir, "greedyExact")(
+          GreedyClustering.assignments(mentions(s, dir), tokens(s, dir),
+            candidates(s, dir), maxComponentSize = Int.MaxValue)), "exact_label")
+        prod.join(exact, "mention_id")
+          .filter($"prod_label" =!= $"exact_label")
+          .agg(count(lit(1)).as("diff_cnt"))
+      }),
+      Some("SELECT 0::BIGINT AS diff_cnt")
+    ),
+
     // T-3 at maxLevel=3: full element-hierarchy statistics (A-2/A-4).
     // Soundex is folded in pure SQL on the oracle side (list_reduce).
     "q_element_stats" -> (
-      ((s: SparkSession, dir: String) => SimGraph.elementStats(tokens(s, dir))),
+      ((s: SparkSession, dir: String) => elementStats(s, dir)),
       Some(withCtes(
         "SELECT kind, value, level, df FROM element_stats",
         (pipelineCtes :+ SimGraph.elementStatsCtes): _*))
@@ -346,7 +414,8 @@ object Queries {
     // list_reduce fold (see SimGraph.simEdgesCtes).
     "q_sim_graph_edges" -> (
       ((s: SparkSession, dir: String) =>
-        SimGraph.simGraphEdges(tokens(s, dir), candidates(s, dir))),
+        SimGraph.simGraphEdges(tokens(s, dir), candidates(s, dir),
+          Some(elementStats(s, dir)))),
       Some(withCtes(
         """SELECT source, target, weight, common_token_cnt FROM sim_edges""",
         (pipelineCtes ++ Seq(SimGraph.elementStatsCtes, SimGraph.simEdgesCtes)): _*))

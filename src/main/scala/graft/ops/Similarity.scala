@@ -73,7 +73,7 @@ object Similarity {
     * hot-bucket valve for sign-pattern LSH (e.g. the all-positive bucket
     * on non-centered data); the other tables still cover its members. */
   private def capBuckets(sigs: DataFrame, cap: Option[Int]): DataFrame =
-    Valves.capGroups(sigs, Seq(col("t"), col("sig")), cap)
+    Valves.capGroups(sigs, Seq("t", "sig"), cap)
 
   /** ANN top-k via multi-table LSH buckets: candidate pairs share a bucket
     * in ANY table; quadratic work confined to buckets. */

@@ -21,14 +21,19 @@ object TextDedup {
   private def h32(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Exact duplicate groups: (doc_id, text_hash, keep_id, is_dup). */
+  /** Exact duplicate groups: (doc_id, text_hash, keep_id, is_dup).
+    *
+    * groupBy + join back rather than min-over-Window: WindowExec buffers
+    * each hash group in full (an external sort on a 10^8-copy boilerplate
+    * group — the pathological input for a dedup operator), while the
+    * aggregate partial-combines map-side and the join back is a hash join
+    * on the same shuffle key. */
   def exactDups(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("text_hash"))
-    documents
-      .select(col("doc_id"), md5(col("text")).as("text_hash"))
-      .withColumn("keep_id", min(col("doc_id")).over(w))
-      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+    val hashed = documents.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val keep = hashed.groupBy(col("text_hash")).agg(min(col("doc_id")).as("keep_id"))
+    hashed.join(keep, "text_hash")
+      .select(col("doc_id"), col("text_hash"), col("keep_id"),
+        (col("doc_id") =!= col("keep_id")).as("is_dup"))
   }
 
   /** Distinct word 3-gram shingles per doc: (doc_id, shingle). Docs under
@@ -49,10 +54,11 @@ object TextDedup {
     * pass: one groupBy with nHashes min-columns (map-side partial agg —
     * the shuffle carries one wide row per doc, not nHashes x shingle
     * rows), exploded back to long form after the aggregate. */
-  def minhashSignatures(documents: DataFrame, nHashes: Int = 8): DataFrame = {
+  def minhashSignatures(documents: DataFrame, nHashes: Int = 8,
+      shinglesDf: Option[DataFrame] = None): DataFrame = {
     val mins = (0 until nHashes).map(j =>
       min(h32(concat(col("shingle"), lit(s":$j")))).as(s"m$j"))
-    shingles(documents)
+    shinglesDf.getOrElse(shingles(documents))
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), explode(array((0 until nHashes).map(j =>
@@ -70,14 +76,15 @@ object TextDedup {
     * dedup upstream) bounds the quadratic step. Default None keeps the
     * oracle-exact semantics. */
   def lshPairs(documents: DataFrame, nHashes: Int = 8, rowsPerBand: Int = 2,
-               maxBucket: Option[Int] = None): DataFrame = {
-    val sigs = minhashSignatures(documents, nHashes)
+               maxBucket: Option[Int] = None,
+               sigsDf: Option[DataFrame] = None): DataFrame = {
+    val sigs = sigsDf.getOrElse(minhashSignatures(documents, nHashes))
       .withColumn("band", (col("j") / rowsPerBand).cast("int"))
     val all = sigs
       .groupBy(col("doc_id"), col("band"))
       .agg(array_join(expr("transform(array_sort(collect_list(struct(j, minhash))), x -> x.minhash)"), ",")
         .as("bucket_key"))
-    val buckets = Valves.capGroups(all, Seq(col("band"), col("bucket_key")), maxBucket)
+    val buckets = Valves.capGroups(all, Seq("band", "bucket_key"), maxBucket)
     buckets.as("x").join(buckets.as("y"), Seq("band", "bucket_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -85,11 +92,17 @@ object TextDedup {
   }
 
   /** Exact word-3-gram Jaccard for LSH-surviving pairs:
-    * (a, b, inter_cnt, a_cnt, b_cnt, jaccard). */
-  def ngramJaccard(documents: DataFrame, minJaccard: Double = 0.0): DataFrame = {
-    val sh = shingles(documents)
+    * (a, b, inter_cnt, a_cnt, b_cnt, jaccard).
+    *
+    * `shinglesDf`/`pairsDf`: pass checkpointed upstream stages so a
+    * pipelined run computes the shingle→minhash→bucket chain exactly once
+    * (the Queries stage memoizer does this); defaults recompute. */
+  def ngramJaccard(documents: DataFrame, minJaccard: Double = 0.0,
+      shinglesDf: Option[DataFrame] = None,
+      pairsDf: Option[DataFrame] = None): DataFrame = {
+    val sh = shinglesDf.getOrElse(shingles(documents))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
-    val pairs = lshPairs(documents)
+    val pairs = pairsDf.getOrElse(lshPairs(documents, sigsDf = None))
     val inter = pairs
       .join(sh.select(col("doc_id").as("a"), col("shingle")), "a")
       .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))

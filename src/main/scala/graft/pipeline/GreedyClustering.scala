@@ -44,6 +44,8 @@ object GreedyClustering {
   final case class LonerWork(loner: MentionRow,
       cands: Seq[(Long, Seq[EntryRow], (Int, Int, Long, Long))])
   final case class ProfRow(cluster_id: Long, profile: Seq[EntryRow])
+  final case class FoldOut(cluster_id: Long, profile: Seq[EntryRow],
+      accepted: Seq[Long])
   final case class AttachToks(cluster_id: Long, mention_id: Long,
       weight: Long, toks: Seq[TokRow])
 
@@ -127,7 +129,7 @@ object GreedyClustering {
     val m = mentions.localCheckpoint()
     val cand = candidates.localCheckpoint()
 
-    val cc = ConnectedComponents.assignments(m, cand)
+    val cc = ConnectedComponents.assignments(m, cand, durableDir.map(_ + "/cc"))
       .select($"mention_id", $"name", $"weight", $"component_id")
       .localCheckpoint()
 
@@ -183,7 +185,7 @@ object GreedyClustering {
     // strong-edge sub-components, clustered exactly, profiles exported
     val strong = bigEdges.filter(_.common_cnt >= 2)
     val coreCompDf = ConnectedComponents.run(strong.toDF()
-      .select($"src", $"dst"))
+      .select($"src", $"dst"), durableDir = durableDir.map(_ + "/cc_strong"))
       .withColumnRenamed("id", "mention_id")
       .withColumnRenamed("component", "core_comp")
     val bigWithCore = bigMentions.toDF()
@@ -224,7 +226,8 @@ object GreedyClustering {
         .join(singles.withColumnRenamed("mention_id", "src"), "src")
         .join(singles.withColumnRenamed("mention_id", "dst"), "dst")
         .localCheckpoint()
-      val lonerComp = ConnectedComponents.run(lonerEdges.select($"src", $"dst"))
+      val lonerComp = ConnectedComponents.run(lonerEdges.select($"src", $"dst"),
+        durableDir = durableDir.map(_ + "/cc_loner"))
         .withColumnRenamed("id", "mention_id")
         .withColumnRenamed("component", "loner_comp")
       val compSizes = lonerComp.groupBy($"loner_comp").count()
@@ -309,33 +312,48 @@ object GreedyClustering {
       val attachDf = attach.toDF().localCheckpoint()
       if (attachDf.isEmpty) done = true
       else {
-        assignDf = assignDf
-          .join(attachDf.select($"mention_id"), Seq("mention_id"), "left_anti")
-          .unionByName(attachDf)
-        // fold the attached refs into their clusters' profiles
+        // Fold the PROPOSED refs into their clusters' profiles and emit the
+        // final assignments FROM the fold: an attachment only commits if its
+        // matchRef re-validates against the round's incrementally merged
+        // profile (earlier same-round merges may have made it inconsistent).
+        // A rejected loner stays single and retries next round against the
+        // updated profile — membership and profile can never diverge.
         val attachToks = attachDf
           .join(bigMentions.toDF().select($"mention_id", $"weight", $"toks"), "mention_id")
           .select($"cluster_id", $"mention_id", $"weight", $"toks")
           .as[AttachToks]
         val profs = profilesDf.as[ProfRow]
-        profilesDf = profs.groupByKey(_.cluster_id)
+        val folded = profs.groupByKey(_.cluster_id)
           .cogroup(attachToks.groupByKey(_.cluster_id)) { (k, ps, as) =>
             val pSeq = ps.toSeq
             if (pSeq.isEmpty) Iterator.empty
             else {
               val aSeq = as.toSeq
-              if (aSeq.isEmpty) Iterator.single(ProfRow(k, pSeq.head.profile))
+              if (aSeq.isEmpty) Iterator.single(FoldOut(k, pSeq.head.profile, Seq.empty))
               else {
                 val h = hierOf(hier)
                 val prof = fromEntryRows(pSeq.head.profile)
+                val accepted = Seq.newBuilder[Long]
                 for (a <- aSeq.sortBy(x => prioOfToks(x.toks, x.weight, x.mention_id))) {
                   val res = prof.matchRef(h, toToksRows(a.toks).toSeq)
-                  if (res.isConsistent || res.canBecomeConsistent) prof.merge(res)
+                  if (res.isConsistent || res.canBecomeConsistent) {
+                    prof.merge(res)
+                    accepted += a.mention_id
+                  }
                 }
-                Iterator.single(ProfRow(k, toEntryRows(prof)))
+                Iterator.single(FoldOut(k, toEntryRows(prof), accepted.result()))
               }
             }
-          }.toDF()
+          }.toDF().localCheckpoint()
+        val acceptedDf = folded
+          .select(explode($"accepted").as("mention_id"), $"cluster_id")
+        if (acceptedDf.isEmpty) done = true
+        else {
+          assignDf = assignDf
+            .join(acceptedDf.select($"mention_id"), Seq("mention_id"), "left_anti")
+            .unionByName(acceptedDf)
+          profilesDf = folded.select($"cluster_id", $"profile")
+        }
       }
       round += 1
     }

@@ -8,12 +8,12 @@ import graft.engine.{BiDirectional, ElementKey, Hierarchy}
   * maxLevel=3) and the similarity-graph export (MainSimGraphGen + S-3
   * IO.writeSimilarityGraph).
   *
-  * Scale design: element stats are plain per-key aggregations. The B-7
-  * re-scorer carries each side's token array through the pair table (J-5
-  * "carry, don't re-join") and evaluates the pure per-pair fold inside a
-  * typed map; the per-element dfs are collected per mention as a small
-  * (key, df) array via one explode + join + re-collect, so no driver-side
-  * state and no broadcast of the full stats table is needed.
+  * Scale design: element stats are plain per-key aggregations over the
+  * df-bounded element vocabulary (tokens + codes + groups — small relative
+  * to the pair table at any scale), so the key→df lookup is a broadcast
+  * map-side join. The B-7 re-scorer carries each side's token array through
+  * the pair table (J-5 "carry, don't re-join") and evaluates the pure
+  * per-pair fold inside a typed map with hoisted per-partition state.
   */
 object SimGraph {
 
@@ -21,12 +21,16 @@ object SimGraph {
     * level1 'T': REF_TKN edge counts; level2 'S': sum of member-token dfs
     * per phonetic code; level2 'N': same per nickname group; level3 'A':
     * sum of level-2 'S' dfs per first letter (NCK has no out-edges —
-    * dao/edge/E.java:10-17 has no NCK_ABR type). */
-  def elementStats(tokens: DataFrame): DataFrame = {
+    * dao/edge/E.java:10-17 has no NCK_ABR type).
+    *
+    * `tokenDf`: pass a cached/checkpointed (token, df) table to avoid
+    * recomputing it for each of the three level folds (the per-round stage
+    * memoizer in Queries does this); default derives it from `tokens`. */
+  def elementStats(tokens: DataFrame, tokenDf: Option[DataFrame] = None): DataFrame = {
     val spark = tokens.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    val t1 = Blocking.tokenDf(tokens) // (token, df)
+    val t1 = tokenDf.getOrElse(Blocking.tokenDf(tokens)) // (token, df)
     val sim = t1.groupBy(expr("graft_soundex(token)").as("value"))
       .agg(sum($"df").as("df"))
       .select(lit("S").as("kind"), $"value", lit(2).as("level"), $"df")
@@ -47,8 +51,14 @@ object SimGraph {
       dtoks: Seq[String], dkinds: Seq[String], dvalues: Seq[String], ddfs: Seq[Long],
       otoks: Seq[String], okinds: Seq[String], ovalues: Seq[String], odfs: Seq[Long])
 
-  /** Per-mention element-key/df array (all levels for all its tokens). */
-  private def mentionElemDfs(tokens: DataFrame): DataFrame = {
+  /** Per-mention element-key/df array (all levels for all its tokens).
+    *
+    * Scale shape: `stats` is df-bounded (|distinct tokens| + |codes| +
+    * |nick groups| + 26 — ~2k rows at sf0.1, millions at 100 TB, vs
+    * billions of pair rows), so it is BROADCAST and the key→df lookup is a
+    * map-side join; the only shuffles here are the two mention_id
+    * aggregations, which AQE co-partitions with the final join. */
+  private def mentionElemDfs(tokens: DataFrame, stats: DataFrame): DataFrame = {
     val spark = tokens.sparkSession
     import spark.implicits._
     val h = Hierarchy.default
@@ -64,7 +74,7 @@ object SimGraph {
       }.distinct
       all.map(k => (id, k.kind.toString, k.value))
     }.toDF("mention_id", "kind", "value")
-    keys.join(elementStats(tokens).select($"kind", $"value", $"df"), Seq("kind", "value"))
+    keys.join(broadcast(stats.select($"kind", $"value", $"df")), Seq("kind", "value"))
       .groupBy($"mention_id")
       .agg(collect_list($"kind").as("kinds"), collect_list($"value").as("values"),
         collect_list($"df").as("dfs"))
@@ -72,11 +82,15 @@ object SimGraph {
   }
 
   /** Candidate pairs re-scored with the bi-directional hierarchical
-    * similarity: (dst_id, org_id, common_cnt, bi_sim). */
-  def rescoredPairs(tokens: DataFrame, candidates: DataFrame): DataFrame = {
+    * similarity: (dst_id, org_id, common_cnt, bi_sim).
+    *
+    * `stats`: pass a cached [[elementStats]] table to reuse across queries;
+    * default recomputes it from `tokens`. */
+  def rescoredPairs(tokens: DataFrame, candidates: DataFrame,
+      stats: Option[DataFrame] = None): DataFrame = {
     val spark = tokens.sparkSession
     import spark.implicits._
-    val me = mentionElemDfs(tokens)
+    val me = mentionElemDfs(tokens, stats.getOrElse(elementStats(tokens)))
     val d = me.select($"mention_id".as("dst_id"), $"toks".as("dtoks"),
       $"kinds".as("dkinds"), $"values".as("dvalues"), $"dfs".as("ddfs"))
     val o = me.select($"mention_id".as("org_id"), $"toks".as("otoks"),
@@ -113,8 +127,9 @@ object SimGraph {
     * directed scores sum identical terms in different fold orders, so they
     * can differ in the last ulp; min() (not an arbitrary dropDuplicates
     * pick) keeps the output — and the oracle compare — deterministic. */
-  def simGraphEdges(tokens: DataFrame, candidates: DataFrame): DataFrame =
-    rescoredPairs(tokens, candidates)
+  def simGraphEdges(tokens: DataFrame, candidates: DataFrame,
+      stats: Option[DataFrame] = None): DataFrame =
+    rescoredPairs(tokens, candidates, stats)
       .select(least(col("dst_id"), col("org_id")).as("source"),
         greatest(col("dst_id"), col("org_id")).as("target"),
         round(col("bi_sim"), 6).as("w"),

@@ -60,6 +60,7 @@ object RefHin {
       .write.mode(SaveMode.Overwrite)
       .option("sep", "\t").option("header", "true")
       .option("ignoreLeadingWhiteSpace", "false").option("ignoreTrailingWhiteSpace", "false")
+      .option("lineSep", "\r\n") // IO.java's PrintWriter.println on Windows: CRLF rows
       .csv(s"$dir/vertices")
     shaped(edges
       .select(col("source").cast("string").as("Source"),
@@ -70,6 +71,7 @@ object RefHin {
       .write.mode(SaveMode.Overwrite)
       .option("sep", "\t").option("header", "true")
       .option("ignoreLeadingWhiteSpace", "false").option("ignoreTrailingWhiteSpace", "false")
+      .option("lineSep", "\r\n") // IO.java's PrintWriter.println on Windows: CRLF rows
       .csv(s"$dir/edges")
   }
 }

@@ -59,7 +59,9 @@ object StreamingMentions {
     import turns.sparkSession.implicits._
     def emit(convId: String, st: ConvState): DocOut = {
       val ordered = st.turns.sortBy(_._1)
-      DocOut(convId, 0, ordered.map(_._2).mkString("\n"), ordered.size)
+      // window_start_turn = smallest turn actually buffered — a timeout
+      // flush with a missing head must not claim it started at turn 0
+      DocOut(convId, ordered.head._1, ordered.map(_._2).mkString("\n"), ordered.size)
     }
     turns
       .withWatermark("ts", "5 minutes")

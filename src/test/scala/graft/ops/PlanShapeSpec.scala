@@ -38,6 +38,19 @@ class PlanShapeSpec extends SparkSpec {
       s"simhash must not cross-join a bit range; plan:\n$plan")
   }
 
+  test("exactDups: agg+join, no WindowExec (hot hash-group must not be buffered)") {
+    val plan = physical(TextDedup.exactDups(docs))
+    assert(!plan.contains("Window"),
+      s"exactDups must not sort-buffer dup groups in a Window; plan:\n$plan")
+  }
+
+  test("capGroups valve: agg+semi-join, no WindowExec (hot bucket must not be buffered)") {
+    val plan = physical(
+      TextDedup.lshPairs(docs, maxBucket = Some(10)))
+    assert(!plan.contains("Window"),
+      s"the hot-bucket valve must not sort-buffer the hot bucket; plan:\n$plan")
+  }
+
   test("lang-id / quality / token-count / fingerprint are single-scan, zero-shuffle") {
     Seq(
       TextAnalysis.langId(docs),

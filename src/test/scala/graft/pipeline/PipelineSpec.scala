@@ -89,6 +89,52 @@ class PipelineSpec extends SparkSpec {
     assert(id === java.lang.Long.parseLong(hex.take(15), 16))
   }
 
+  test("marker-free extractor reproduces the planted mentions; noisy docs behave") {
+    val t = graft.synth.Synth.transcripts(spark, "/root/testdata/sf0.001")
+    val marked = Canonicalize.mentionEvents(t)
+      .select($"conv_id", $"turn_idx", $"name").as[(String, Int, String)]
+      .collect().sorted.toSeq
+    val auto = Canonicalize.mentionEventsAuto(t)
+      .select($"conv_id", $"turn_idx", $"name").as[(String, Int, String)]
+      .collect().sorted.toSeq
+    assert(auto === marked) // recall AND precision 1.0 on the contract corpus
+
+    // unmarked noisy fixture: punctuation and stop words delimit runs;
+    // single clean tokens are not mentions; initials survive
+    val noisy = Seq(
+      ("n1", 0, "user", "ok so the record for mary j. lopez was sent, thanks!"),
+      ("n2", 0, "user", "weird edge: 42 rows for bob smith jr now."),
+      ("n3", 0, "user", "that was all of it, thanks."))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val got = Canonicalize.mentionEventsAuto(noisy)
+      .select($"conv_id", $"name").as[(String, String)].collect().toSet
+    assert(got === Set(("n1", "mary j. lopez"), ("n2", "bob smith jr")))
+  }
+
+  test("mention_id collision auto-repair: unique, deterministic, no-op at full width") {
+    val t = graft.synth.Synth.transcripts(spark, "/root/testdata/sf0.001")
+    // 4 hex chars = 16-bit ids over ~240 names -> collisions near-certain
+    val narrow = Canonicalize.mentions(t, idHexChars = 4)
+      .select($"name", $"mention_id").as[(String, Long)].collect()
+    assert(narrow.map(_._2).distinct.length === narrow.length,
+      "salt repair must leave ids unique")
+    val again = Canonicalize.mentions(t, idHexChars = 4)
+      .select($"name", $"mention_id").as[(String, Long)].collect()
+    assert(narrow.sorted.toSeq === again.sorted.toSeq, "repair must be deterministic")
+    // end-to-end: the repaired narrow ids still drive the pipeline
+    val cands = Blocking.candidates(Tokenize.tokens(
+      Canonicalize.mentions(t, idHexChars = 4)))
+    assert(cands.count() > 0)
+    // at the default width no salt fires: ids equal the plain md5 prefix
+    val full = Canonicalize.mentions(t)
+      .select($"name", $"mention_id").as[(String, Long)].collect().toMap
+    full.foreach { case (name, id) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(name.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(id === java.lang.Long.parseLong(hex.take(15), 16))
+    }
+  }
+
   test("connected components: 300-hop chain converges within the round cap") {
     // A path graph has diameter = n-1; plain min-label propagation would
     // need 299 rounds (> maxIter 50) — the pointer-jump makes it O(log n).

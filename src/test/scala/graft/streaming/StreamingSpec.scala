@@ -117,6 +117,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup at sf0.01 volume: founder state is evicted past the watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val half = texts.length / 2
+    val t0 = 1735689600000L
+    def ts(ms: Long) = new Timestamp(ms)
+    // batch 1 at t0, batch 2 three hours later (watermark lateness is
+    // 10 min, so after batch 2 every batch-1 founder is past its horizon)
+    val b1 = texts.take(half).map { case (id, tx) => (id, tx, ts(t0 + (id % 60) * 1000)) }
+    val b2 = texts.drop(half).map { case (id, tx) =>
+      (id, tx, ts(t0 + 3 * 3600 * 1000L + (id % 60) * 1000)) }
+    // out-of-order tail BEYOND the watermark: must be dropped, not stateful
+    val late = texts.take(5).map { case (id, tx) => (id + 10000000L, tx, ts(t0)) }
+    val b3 = Seq((90000001L, "first fresh doc that advances the watermark far beyond batch two", ts(t0 + 6 * 3600 * 1000L)))
+    val b4 = Seq((90000002L, "second fresh doc that advances the watermark beyond batch three", ts(t0 + 9 * 3600 * 1000L)))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingNearDup.nearDups(in.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("neardup_scale")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      val afterB1 = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(afterB1 > 500, s"state should hold batch-1 founders, got $afterB1")
+      in.addData(b2); q.processAllAvailable()
+      in.addData(late); q.processAllAvailable()
+      in.addData(b3); q.processAllAvailable() // evicts batch-1 founders
+      in.addData(b4); q.processAllAvailable() // evicts batch-2 founders
+      val afterB4 = q.lastProgress.stateOperators.head.numRowsTotal
+      // all sf0.01 founders reaped; only the two fresh docs' buckets remain
+      assert(afterB4 <= 8, s"state must be bounded by the horizon, got $afterB4")
+      // the beyond-watermark tail contributed no output rows
+      assert(spark.table("neardup_scale")
+        .filter($"doc_id" >= 10000000L && $"doc_id" < 90000000L).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps one row per text hash") {
     val spark2 = spark
     import spark2.implicits._
