@@ -133,6 +133,29 @@ object Queries {
       Some(rawCtes("SELECT doc_id, simhash FROM doc_simhash", TextDedup.ctes))
     ),
 
+    // Near-dup GROUPS: connected components over the LSH pair graph —
+    // the "keep one per near-dup cluster" reduction; oracle via the same
+    // recursive-CTE transitive closure as the ER components.
+    "q_neardup_clusters" -> (
+      ((s: SparkSession, dir: String) => TextDedup.nearDupClusters(
+        documents(s, dir), pairsDf = Some(lshPairsStage(s, dir)))),
+      Some(rawCtes("SELECT doc_id, cluster_id, is_dup FROM neardup_clusters",
+        TextDedup.ctes))
+    ),
+
+    // Benchmark decontamination: per-doc shared-shingle count against a
+    // deterministic in-corpus benchmark subset (doc_id % 97 == 0).
+    "q_decontam" -> (
+      ((s: SparkSession, dir: String) => TextDedup.decontaminate(
+        documents(s, dir),
+        documents(s, dir).filter(col("doc_id") % 97 === 0),
+        shinglesDf = Some(docShingles(s, dir)))),
+      Some(rawCtes(
+        """SELECT doc_id, contaminated_cnt, shingle_cnt, contamination,
+          |       is_contaminated FROM decontam""".stripMargin,
+        TextDedup.ctes))
+    ),
+
     // ---- training-data ops: similarity search over `embeddings`.
     "q_knn_brute" -> (
       ((s: SparkSession, dir: String) => knnBruteStage(s, dir)),

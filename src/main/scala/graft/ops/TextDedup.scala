@@ -136,6 +136,56 @@ object TextDedup {
       .select(col("doc_id"), col("simhash"))
   }
 
+  /** Near-duplicate GROUPS: connected components over the LSH candidate
+    * pair graph, one row per document — (doc_id, cluster_id, is_dup) with
+    * cluster_id = min doc id reachable through near-dup pairs (singletons
+    * cluster with themselves). The standard "keep one per near-dup
+    * cluster" reduction a training-data pipeline runs after pair
+    * generation; reuses the pointer-jumped min-label CC (O(log d) rounds,
+    * each two hash shuffles), so it holds at any scale the pair step
+    * itself survives. */
+  def nearDupClusters(documents: DataFrame,
+      pairsDf: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairsDf.getOrElse(lshPairs(documents))
+    val comp = graft.pipeline.ConnectedComponents
+      .run(pairs.select(col("a").as("src"), col("b").as("dst")))
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("component", "cluster_id")
+    documents.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("cluster_id"))
+  }
+
+  /** Benchmark decontamination (training-data hygiene): per document, how
+    * many of its distinct word 3-gram shingles also appear in an
+    * eval/benchmark corpus — (doc_id, contaminated_cnt, shingle_cnt,
+    * contamination, is_contaminated at `minOverlap` shared shingles).
+    * Production runs use longer n-grams (e.g. 13) — same plan shape.
+    *
+    * Scale shape: the benchmark shingle set is tiny next to the corpus
+    * (eval suites are fixed-size), so it is BROADCAST and the overlap is
+    * a map-side semi-join + per-doc partial count; docs never shuffle. */
+  def decontaminate(documents: DataFrame, benchmark: DataFrame,
+      minOverlap: Int = 1,
+      shinglesDf: Option[DataFrame] = None): DataFrame = {
+    val docSh = shinglesDf.getOrElse(shingles(documents))
+    val benchSh = broadcast(
+      shingles(benchmark).select(col("shingle")).distinct())
+    val hits = docSh.join(benchSh, "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("contaminated_cnt"))
+    val counts = docSh.groupBy(col("doc_id")).agg(count(lit(1)).as("shingle_cnt"))
+    documents.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("shingle_cnt", "contaminated_cnt"))
+      .withColumn("contamination",
+        when(col("shingle_cnt") === 0, lit(0.0))
+          .otherwise(round(col("contaminated_cnt") / col("shingle_cnt"), 6)))
+      .withColumn("is_contaminated", col("contaminated_cnt") >= minOverlap)
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** DuckDB CTEs over the driver-registered `documents` view. */
@@ -180,6 +230,42 @@ object TextDedup {
       |             GROUP BY 1, 2) i ON p.a = i.a AND p.b = i.b
       |  JOIN shingle_counts ca ON ca.doc_id = p.a
       |  JOIN shingle_counts cb ON cb.doc_id = p.b
+      |),
+      |nd_sym AS (
+      |  SELECT a AS src, b AS dst FROM lsh_pairs
+      |  UNION SELECT b, a FROM lsh_pairs
+      |),
+      |nd_reach AS (
+      |  WITH RECURSIVE r(x, y) AS (
+      |    SELECT src, dst FROM nd_sym
+      |    UNION
+      |    SELECT r.x, e.dst FROM r JOIN nd_sym e ON r.y = e.src
+      |  ) SELECT * FROM r
+      |),
+      |nd_labels AS (
+      |  SELECT x AS doc_id, least(x, min(y)) AS cluster_id FROM nd_reach GROUP BY x
+      |),
+      |neardup_clusters AS (
+      |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+      |         d.doc_id <> coalesce(l.cluster_id, d.doc_id) AS is_dup
+      |  FROM documents d LEFT JOIN nd_labels l USING (doc_id)
+      |),
+      |bench_shingles AS (
+      |  SELECT DISTINCT shingle FROM doc_shingles WHERE doc_id % 97 = 0
+      |),
+      |decontam AS (
+      |  SELECT d.doc_id,
+      |         coalesce(c.cnt, 0) AS contaminated_cnt,
+      |         coalesce(s.cnt, 0) AS shingle_cnt,
+      |         CASE WHEN coalesce(s.cnt, 0) = 0 THEN 0.0::DOUBLE
+      |              ELSE round(coalesce(c.cnt, 0) / s.cnt, 6) END AS contamination,
+      |         coalesce(c.cnt, 0) >= 1 AS is_contaminated
+      |  FROM documents d
+      |  LEFT JOIN (SELECT doc_id, count(*) AS cnt
+      |             FROM doc_shingles GROUP BY 1) s USING (doc_id)
+      |  LEFT JOIN (SELECT doc_id, count(*) AS cnt
+      |             FROM doc_shingles JOIN bench_shingles USING (shingle)
+      |             GROUP BY 1) c USING (doc_id)
       |),
       |doc_simhash AS (
       |  SELECT doc_id,

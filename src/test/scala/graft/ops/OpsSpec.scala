@@ -36,6 +36,39 @@ class OpsSpec extends SparkSpec {
     assert(ident.toSeq === Seq(1.0))
   }
 
+  test("near-dup clusters: transitive closure over LSH pairs, singletons self-cluster") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, "completely different text with no overlap at all whatsoever"))
+    val out = TextDedup.nearDupClusters(d)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // 1~2 and 2~3 share buckets -> one cluster labeled by min id 1
+    assert(out(1L) === (1L, false))
+    assert(out(2L) === (1L, true))
+    assert(out(3L) === (1L, true))
+    assert(out(4L) === (4L, false))
+  }
+
+  test("decontamination: shared-shingle counts against a benchmark corpus") {
+    val corpus = docs(
+      (1L, "alpha beta gamma delta epsilon"), // contains the benchmark run
+      (2L, "zeta eta theta iota kappa"),      // clean
+      (3L, "tiny"))                           // no shingles at all
+    val bench = docs((100L, "beta gamma delta"))
+    val out = TextDedup.decontaminate(corpus, bench)
+      .select($"doc_id", $"contaminated_cnt", $"shingle_cnt", $"contamination",
+        $"is_contaminated")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 1L) // "beta gamma delta" is doc 1's one shared shingle
+    assert(out(1L)._3 === 3L)
+    assert(out(1L)._5 === true)
+    assert(out(2L)._2 === 0L && out(2L)._5 === false)
+    assert(out(3L)._3 === 0L && out(3L)._4 === 0.0)
+  }
+
   test("docs under 3 words produce no shingles (SQL generate_series parity)") {
     // Spark's sequence(1, 0) is the DESCENDING [1, 0]; ungated it emits
     // degenerate shingles for 1-2 word docs where the SQL oracle emits none
