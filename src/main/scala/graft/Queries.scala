@@ -143,6 +143,20 @@ object Queries {
         TextDedup.ctes))
     ),
 
+    // End-to-end curation verdict: the composed keep/drop decision over
+    // exact dup, near dup, language, quality, repetition and
+    // decontamination signals — first failing filter wins the reason.
+    "q_keep_set" -> (
+      ((s: SparkSession, dir: String) => graft.ops.Curation.keepSet(
+        documents(s, dir),
+        documents(s, dir).filter(col("doc_id") % 97 === 0),
+        pairsDf = Some(lshPairsStage(s, dir)),
+        shinglesDf = Some(docShingles(s, dir)))),
+      Some(rawCtes(
+        "SELECT doc_id, reason = 'kept' AS keep, reason FROM keep_set",
+        TextDedup.ctes, TextAnalysis.ctes, graft.ops.Curation.ctes))
+    ),
+
     // Benchmark decontamination: per-doc shared-shingle count against a
     // deterministic in-corpus benchmark subset (doc_id % 97 == 0).
     "q_decontam" -> (

@@ -231,6 +231,11 @@ object TextDedup {
       |  JOIN shingle_counts ca ON ca.doc_id = p.a
       |  JOIN shingle_counts cb ON cb.doc_id = p.b
       |),
+      |exact_dups AS (
+      |  SELECT doc_id,
+      |         doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+      |  FROM documents
+      |),
       |nd_sym AS (
       |  SELECT a AS src, b AS dst FROM lsh_pairs
       |  UNION SELECT b, a FROM lsh_pairs

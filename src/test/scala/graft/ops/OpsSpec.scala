@@ -69,6 +69,23 @@ class OpsSpec extends SparkSpec {
     assert(out(3L)._3 === 0L && out(3L)._4 === 0.0)
   }
 
+  test("keep-set curation: first failing filter wins, clean docs survive") {
+    val corpus = docs(
+      (1L, "a quick brown fox jumps over the lazy dog and then this dog sleeps near a warm fire tonight"),
+      (2L, "a quick brown fox jumps over the lazy dog and then this dog sleeps near a warm fire tonight"), // exact dup of 1
+      (3L, "der hund und die katze sind nicht das gleiche tier aber sie wohnen zusammen in einem haus"), // German
+      (4L, "the the the the the the the the the the the the the the the the the the the the"), // repetition (lang stays en)
+      (5L, "the and"))                                                     // too short -> quality (stopwords keep lang en)
+    val bench = docs((100L, "nothing shared with this corpus at all"))
+    val out = Curation.keepSet(corpus, bench)
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === (true, "kept"))
+    assert(out(2L) === (false, "exact_dup"))
+    assert(out(3L) === (false, "lang"))
+    assert(out(4L) === (false, "repetition"))
+    assert(out(5L) === (false, "quality"))
+  }
+
   test("docs under 3 words produce no shingles (SQL generate_series parity)") {
     // Spark's sequence(1, 0) is the DESCENDING [1, 0]; ungated it emits
     // degenerate shingles for 1-2 word docs where the SQL oracle emits none
