@@ -54,7 +54,7 @@ object Similarity {
   /** Multi-table LSH signatures: (vec_id, t, sig) — one sign-pattern
     * bucket per hash table; more tables = higher recall, standard
     * random-hyperplane LSH. */
-  def lshSignatures(embeddings: DataFrame, tables: Int = 6, planes: Int = 5): DataFrame = {
+  def lshSignatures(embeddings: DataFrame, tables: Int = 12, planes: Int = 5): DataFrame = {
     val dims = embeddings.selectExpr("size(embedding) d").limit(1)
       .collect()(0).getInt(0)
     val exploded = embeddings
@@ -77,7 +77,7 @@ object Similarity {
 
   /** ANN top-k via multi-table LSH buckets: candidate pairs share a bucket
     * in ANY table; quadratic work confined to buckets. */
-  def annTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 6, planes: Int = 5,
+  def annTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 12, planes: Int = 5,
       maxBucket: Option[Int] = None): DataFrame = {
     val sigs = capBuckets(lshSignatures(embeddings, tables, planes), maxBucket)
     val candPairs = sigs.as("x")
@@ -105,7 +105,7 @@ object Similarity {
     * index: one linear signature scan + bucket-bounded verification, never
     * the all-pairs cross join. */
   def embedNearDups(embeddings: DataFrame, minCosine: Double = 0.3,
-      tables: Int = 6, planes: Int = 5, maxBucket: Option[Int] = None): DataFrame = {
+      tables: Int = 12, planes: Int = 5, maxBucket: Option[Int] = None): DataFrame = {
     val sigs = capBuckets(lshSignatures(embeddings, tables, planes), maxBucket)
     val cand = sigs.as("x")
       .join(sigs.as("y"), Seq("t", "sig"))
@@ -232,7 +232,7 @@ object Similarity {
       |  SELECT t, p, d,
       |         CASE WHEN ('0x' || substr(md5(t::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT % 2 = 0
       |              THEN 1.0 ELSE -1.0 END AS wgt
-      |  FROM (SELECT unnest(generate_series(0, 5)) AS t),
+      |  FROM (SELECT unnest(generate_series(0, 11)) AS t),
       |       (SELECT unnest(generate_series(0, 4)) AS p),
       |       (SELECT unnest(generate_series(0, 63)) AS d)
       |),
