@@ -81,10 +81,14 @@ object Bench {
     pipeline.GreedyClustering.assignments(m, t, pipeline.Blocking.candidates(t))
   }
 
-  /** Spark jobs launched while `f` runs — the fixed-cost unit of the
-    * iterative stages (each job pays scheduler + barrier + result-fetch
-    * latency regardless of executor count). */
-  private def countJobs(spark: SparkSession)(f: => Unit): Int = {
+  /** Spark jobs launched while `f` runs, plus f's wall seconds — the job
+    * count is the fixed-cost unit of the iterative stages (each job pays
+    * scheduler + barrier + result-fetch latency regardless of executor
+    * count). The listener-bus drain sleep and listener removal happen
+    * OUTSIDE the timed region, so stage timings carry no bookkeeping
+    * overhead (the 200ms drain is best-effort; the count is a diagnostic,
+    * not a contract metric). */
+  private def countJobs(spark: SparkSession)(f: => Unit): (Int, Double) = {
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -92,9 +96,13 @@ object Bench {
         counter.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(l)
-    try { f; Thread.sleep(200) } // let the listener bus drain
-    finally spark.sparkContext.removeSparkListener(l)
-    counter.get()
+    val sec =
+      try time(f)
+      finally {
+        Thread.sleep(200) // best-effort listener-bus drain, untimed
+        spark.sparkContext.removeSparkListener(l)
+      }
+    (counter.get(), sec)
   }
 
   /** Per-stage decomposition of the clustering job at one cluster size:
@@ -117,12 +125,10 @@ object Bench {
     // session); min is the standard interference-robust estimator
     val tBlock = Seq.fill(2)(time(force(cand))).min
     val candCk = cand.localCheckpoint()
-    var ccJobs = 0
-    val tCc = time { ccJobs = countJobs(spark)(
-      force(pipeline.ConnectedComponents.assignments(m, candCk))) }
-    var gJobs = 0
-    val tGreedy = time { gJobs = countJobs(spark)(
-      force(pipeline.GreedyClustering.assignments(m, t, candCk))) }
+    val (ccJobs, tCc) = countJobs(spark)(
+      force(pipeline.ConnectedComponents.assignments(m, candCk)))
+    val (gJobs, tGreedy) = countJobs(spark)(
+      force(pipeline.GreedyClustering.assignments(m, t, candCk)))
     (tBlock, tCc, tGreedy, ccJobs, gJobs)
   }
 
@@ -176,24 +182,37 @@ object Bench {
     val execMemMb = 3072
     val tokensPath = Files.createTempDirectory("graft_bench_tokens").toString + "/tokens"
 
-    // ---- phase 1: headline query timings at full parallelism
-    var spark = session(cpusHi, cpusHi * 4)
+    // ---- phase 1: headline query timings at full parallelism, taken as
+    // the MIN over two FRESH-session passes. The stage memoizer is keyed by
+    // applicationId, so each pass recomputes every stage (identical work);
+    // min-of-2 across passes is the same interference-robust estimator the
+    // scaling sections already use — one host straggler (observed 4.3x on
+    // code-identical queries in the round-3 driver run) can no longer
+    // define the round's record.
     val headline = Seq("q_mentions", "q_tokens", "q_candidates",
       "q_candidates_hybrid", "q_cc_assignments", "q_greedy_assignments",
       "q_eval_greedy", "q_sim_graph_edges")
-    val qTimes = headline.map { name =>
-      val fn = SparkEntry.queries(name)
-      name -> time(force(fn(spark, sfDir)))
-    }
-
-    // ---- training-data ops timings (documents/embeddings tables at the
-    // same sf; brute kNN is the quadratic baseline the bucketed paths beat)
+    // training-data ops (documents/embeddings tables at the same sf;
+    // brute kNN is the quadratic baseline the bucketed paths beat)
     val opsHeadline = Seq("q_dedup_exact", "q_lsh_pairs", "q_ngram_jaccard",
       "q_simhash", "q_knn_brute", "q_ann_topk", "q_ivf_topk", "q_embed_neardup")
-    val opsTimes = opsHeadline.map { name =>
-      val fn = SparkEntry.queries(name)
-      name -> time(force(fn(spark, sfDir)))
+    def timeQueries(s: SparkSession, names: Seq[String]): Map[String, Double] =
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
+        name -> time(force(fn(s, sfDir)))
+      }.toMap
+    val (qTimesA, opsTimesA) = {
+      val sA = session(cpusHi, cpusHi * 4)
+      try (timeQueries(sA, headline), timeQueries(sA, opsHeadline))
+      finally sA.stop()
     }
+    // pass B's session is kept: quality/recall/fidelity below reuse its
+    // warm stage cache (same behavior as before, just measured twice)
+    var spark = session(cpusHi, cpusHi * 4)
+    val qTimesB = timeQueries(spark, headline)
+    val opsTimesB = timeQueries(spark, opsHeadline)
+    val qTimes = headline.map(n => n -> math.min(qTimesA(n), qTimesB(n)))
+    val opsTimes = opsHeadline.map(n => n -> math.min(opsTimesA(n), opsTimesB(n)))
 
     // ---- quality: the acceptance-gate F1s (cheap here — the stage cache
     // already holds the greedy assignments from the headline pass)
@@ -229,9 +248,9 @@ object Bench {
         Seq("vec_id", "neighbor_id"), "left_semi").count().toDouble / brute.count()
     }
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val annKnob = {
+    val annKnob = { // knob: the former fixed table count at auto planes
       var df: DataFrame = null
-      val sec = time { df = ops.Similarity.annTopK(emb, tables = 6).localCheckpoint() }
+      val sec = time { df = ops.Similarity.annTopK(emb, tables = 12).localCheckpoint() }
       (sec, recallOf(df))
     }
     val ivfKnob = {
@@ -239,23 +258,43 @@ object Bench {
       val sec = time { df = ops.Similarity.ivfTopK(emb, nprobe = 8).localCheckpoint() }
       (sec, recallOf(df))
     }
+    // the production ANN default: KMeans-trained IVF cells at nlist ~ sqrt(n)
+    val ivfTrained = {
+      var df: DataFrame = null
+      val sec = time { df = ops.Similarity.ivfTopKTrained(emb).localCheckpoint() }
+      (sec, recallOf(df))
+    }
+    val ivfTrained8 = {
+      var df: DataFrame = null
+      val sec = time { df = ops.Similarity.ivfTopKTrained(emb, nprobe = 8).localCheckpoint() }
+      (sec, recallOf(df))
+    }
 
     // fidelity: production clustering vs the EXACT reference BFS
     // (maxComponentSize = infinity — single task per component, the
     // offline ground truth for the "match the reference's clusters"
     // contract). Runs on the session's cached stages.
-    val fidelity = {
+    val (fidelity, fidelityDiff) = {
       import org.apache.spark.sql.functions._
       val m = pipeline.Canonicalize.mentions(synth.Synth.transcripts(spark, sfDir)).localCheckpoint()
       val tk = pipeline.Tokenize.tokens(m).localCheckpoint()
       val cand = pipeline.Blocking.candidates(tk).localCheckpoint()
       val exact = pipeline.GreedyClustering.assignments(m, tk, cand,
-        maxComponentSize = Int.MaxValue)
-      val prod = pipeline.GreedyClustering.assignments(m, tk, cand)
+        maxComponentSize = Int.MaxValue).localCheckpoint()
+      val prod = pipeline.GreedyClustering.assignments(m, tk, cand).localCheckpoint()
       val exactAsGold = exact.select(col("name"),
         col("cluster_id").cast("string").as("entity_id"), col("weight").as("cnt"))
       val r = pipeline.Evaluation.pairwiseF1(prod, exactAsGold).collect().head
-      Seq("precision", "recall", "f1").map(c => c -> r.getAs[Double](c)).toMap
+      // the q_fidelity_greedy SELECT-0 gate AT BENCH SCALE: min-member-id
+      // normalized labels must agree mention-for-mention
+      def normLbl(df: DataFrame, out: String) =
+        df.select(col("mention_id"), col("cluster_id"))
+          .join(df.groupBy(col("cluster_id")).agg(min(col("mention_id")).as(out)),
+            "cluster_id")
+          .select(col("mention_id"), col(out))
+      val diff = normLbl(prod, "p").join(normLbl(exact, "x"), "mention_id")
+        .filter(col("p") =!= col("x")).count()
+      (Seq("precision", "recall", "f1").map(c => c -> r.getAs[Double](c)).toMap, diff)
     }
 
     // materialize tokens once for the scaling phases (untimed)
@@ -375,18 +414,43 @@ object Bench {
       median3(time(force(scoringKernel(s, scaledJoined))))
     }
     val stagesHi = inCluster(scale4N)(clusterStages(_, scaledMentions, scaledTokens))
-    def block64(s: SparkSession): Double = {
+    // blocking 64x point: ALL samples kept (min is the estimator, the band
+    // is published — a single min-of-2 straddling the 0.8 contract line is
+    // not evidence either way; see BENCH.md)
+    def block64(s: SparkSession): Seq[Double] = {
       force(s.read.parquet(scaledTokens64)) // warm page cache untimed
-      Seq.fill(2)(time(force(
-        pipeline.Blocking.candidates(s.read.parquet(scaledTokens64))))).min
+      Seq.fill(3)(time(force(
+        pipeline.Blocking.candidates(s.read.parquet(scaledTokens64)))))
     }
-    val tBlock64Hi = inCluster(scale4N)(block64)
+    val b64HiSamples = inCluster(scale4N)(block64)
+    val tBlock64Hi = b64HiSamples.min
     val tLo = inCluster(scaleN) { s =>
       force(scoringKernel(s, scaledJoined))
       median3(time(force(scoringKernel(s, scaledJoined))))
     }
     val stagesLo = inCluster(scaleN)(clusterStages(_, scaledMentions, scaledTokens))
-    val tBlock64Lo = inCluster(scaleN)(block64)
+    val b64LoSamples = inCluster(scaleN)(block64)
+    val tBlock64Lo = b64LoSamples.min
+    // Amdahl decomposition of the blocking stage from the four (work,
+    // executors) points — T ~ F + s * (W/e): the per-run fixed cost F and
+    // per-replica scalable unit s, fit by least squares, predict the
+    // efficiency the same stage reaches when the scalable work dominates
+    // (production stage durations), quantifying the "the residual gap is
+    // amortizable fixed cost" claim instead of asserting it.
+    val (amdahlS, amdahlF) = {
+      val pts = Seq(
+        (K.toDouble / scaleN, stagesLo._1), (K.toDouble / scale4N, stagesHi._1),
+        (K64.toDouble / scaleN, tBlock64Lo), (K64.toDouble / scale4N, tBlock64Hi))
+      val n = pts.length
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (slope, math.max(0.0, (sy - slope * sx) / n))
+    }
+    def amdahlEff(w: Double): Double =
+      (amdahlF + amdahlS * w / scaleN) / (4.0 * (amdahlF + amdahlS * w / scale4N))
+    val predEff256 = amdahlEff(256.0)
     val tClusterHi = stagesHi._1 + stagesHi._2 + stagesHi._3
     val tClusterLo = stagesLo._1 + stagesLo._2 + stagesLo._3
 
@@ -404,7 +468,7 @@ object Bench {
         s""""pairwise_recall":${evalGreedy("recall")},""" +
         s""""paired_f1":${evalPaired("f1")},"paired_precision":${evalPaired("precision")},""" +
         s""""paired_recall":${evalPaired("recall")},""" +
-        s""""fidelity_f1":${fidelity("f1")},""" +
+        s""""fidelity_f1":${fidelity("f1")},"fidelity_diff":$fidelityDiff,""" +
         s""""scale_n":$scaleN,"scale_4n":$scale4N,""" +
         s""""exec_cores":$execCores,"headline_cpus":$cpusHi,""" +
         s""""score_sec_lo":${f"$tLo%.3f"},"score_sec_hi":${f"$tHi%.3f"},""" +
@@ -415,9 +479,16 @@ object Bench {
         s""""cc_jobs":${stagesHi._4},"greedy_jobs":${stagesHi._5},""" +
         s""""block64_sec_lo":${f"$tBlock64Lo%.3f"},"block64_sec_hi":${f"$tBlock64Hi%.3f"},""" +
         s""""block64_efficiency":${f"${(tBlock64Lo / tBlock64Hi) / 4.0}%.3f"},""" +
+        s""""block64_samples_lo":${b64LoSamples.map(v => f"$v%.3f").mkString("[", ",", "]")},""" +
+        s""""block64_samples_hi":${b64HiSamples.map(v => f"$v%.3f").mkString("[", ",", "]")},""" +
+        s""""block_amdahl_fixed_sec":${f"$amdahlF%.3f"},""" +
+        s""""block_amdahl_unit_sec":${f"$amdahlS%.4f"},""" +
+        s""""block256_pred_efficiency":${f"$predEff256%.3f"},""" +
         s""""ann_recall_at5":${f"$annRecall%.4f"},"ivf_recall_at5":${f"$ivfRecall%.4f"},""" +
         s""""ann_knob_sec":${f"${annKnob._1}%.3f"},"ann_knob_recall":${f"${annKnob._2}%.4f"},""" +
         s""""ivf_knob_sec":${f"${ivfKnob._1}%.3f"},"ivf_knob_recall":${f"${ivfKnob._2}%.4f"},""" +
+        s""""ivf_trained_sec":${f"${ivfTrained._1}%.3f"},"ivf_trained_recall":${f"${ivfTrained._2}%.4f"},""" +
+        s""""ivf_trained8_sec":${f"${ivfTrained8._1}%.3f"},"ivf_trained8_recall":${f"${ivfTrained8._2}%.4f"},""" +
         s""""pairs_per_sec_lo":${f"$thrLo%.0f"},"pairs_per_sec_hi":${f"$thrHi%.0f"},""" +
         s""""valve_cap":${valve._1},"valve_exact_pairs":${valve._2},"valve_exact_sec":${f"${valve._3}%.3f"},""" +
         s""""valve_capped_pairs":${valve._4},"valve_capped_sec":${f"${valve._5}%.3f"},""" +
@@ -442,6 +513,10 @@ object Bench {
          || paired F1 on labeled pairs (E-2) | ${evalPaired("precision")} | ${evalPaired("recall")} | **${evalPaired("f1")}** |
          || FIDELITY: production vs exact reference BFS clusters | ${fidelity("precision")} | ${fidelity("recall")} | **${fidelity("f1")}** |
          |
+         |Fidelity is also machine-checked at THIS scale: normalized label
+         |disagreements (the q_fidelity_greedy SELECT-0 gate) =
+         |**$fidelityDiff** (contract 0).
+         |
          |Contracts: paired F1 >= 0.99 on labeled pairs; fidelity = pairwise
          |F1 of the scalable clustering against the clusters of the exact
          |reference algorithm (whole-component BFS) on the same corpus —
@@ -461,6 +536,9 @@ object Bench {
          |
          |Each query forced through a noop sink; shared pipeline stages are
          |memoized per session, so times isolate each operator's own work.
+         |Every number is the MIN over two fresh-session passes (the same
+         |interference-robust estimator as the scaling sections — this host
+         |shows multi-x straggler spikes on code-identical queries).
          |
          || query | sec |
          || --- | --- |
@@ -520,23 +598,27 @@ object Bench {
          |
          |To prove the blocking stage's gap IS that fixed cost and not a
          |shuffle bottleneck, the same stage is re-measured at 4x the work
-         |(${K64}x-replicated tokens — enough per-executor work to amortize
-         |the ~10s constant the 16x Amdahl fit exposes). Each measurement
-         |group runs in its own fresh cluster session (pinned checkpoint
-         |blocks from a shared session perturb later stages) and the
-         |${K64}x point takes the min of 2 runs per level
-         |(interference-robust):
+         |(${K64}x-replicated tokens). Each measurement group runs in its
+         |own fresh cluster session (pinned checkpoint blocks from a shared
+         |session perturb later stages); the ${K64}x point runs 3 samples
+         |per level — the MIN is the estimator and ALL samples are published
+         |(a single sample straddling the 0.8 contract line is not evidence
+         |either way; the round-3 driver/builder records disagreed 0.76 vs
+         |0.96 exactly because of unpublished run-to-run spread):
          |
-         || blocking input | $scaleN-exec sec | $scale4N-exec sec | efficiency |
+         || blocking input | $scaleN-exec sec (samples) | $scale4N-exec sec (samples) | efficiency (min-based) |
          || --- | --- | --- | --- |
-         || ${K64}x tokens | ${f"$tBlock64Lo%.3f"} | ${f"$tBlock64Hi%.3f"} | **${f"${(tBlock64Lo / tBlock64Hi) / 4.0}%.3f"}** |
+         || ${K64}x tokens | ${f"$tBlock64Lo%.3f"} ${b64LoSamples.map(v => f"$v%.1f").mkString("(", " / ", ")")} | ${f"$tBlock64Hi%.3f"} ${b64HiSamples.map(v => f"$v%.1f").mkString("(", " / ", ")")} | **${f"${(tBlock64Lo / tBlock64Hi) / 4.0}%.3f"}** |
          |
-         |Efficiency GROWS with work (${f"${(stagesLo._1 / stagesHi._1) / 4.0}%.2f"}
+         |Efficiency grows with work (${f"${(stagesLo._1 / stagesHi._1) / 4.0}%.2f"}
          |at 16x -> ${f"${(tBlock64Lo / tBlock64Hi) / 4.0}%.2f"} at ${K64}x on
-         |the same cluster pair): the residual gap is amortizable per-stage
-         |fixed cost, not shuffle contention — at production stage durations
-         |(minutes-hours, not tens of seconds) it converges toward the
-         |kernel's ~1.0.
+         |the same cluster pair). Fitting T = F + s*(W/e) to the four
+         |(work, executors) points quantifies that: per-run fixed cost
+         |F = ${f"$amdahlF%.1f"}s, scalable unit s = ${f"$amdahlS%.2f"}s/replica —
+         |predicted efficiency at 256x work (production-length stage):
+         |**${f"$predEff256%.3f"}**. The residual gap is amortizable
+         |per-stage fixed cost, not shuffle contention; at production stage
+         |durations it converges toward the kernel's ~1.0.
          |
          |## ANN index quality (tracked per round)
          |
@@ -545,17 +627,30 @@ object Bench {
          |design; the knobs — tables/planes, nlist/nprobe — trade recall
          |for the quadratic-work bound):
          |
+         |Both indexes now self-scale: LSH planes track log2(n) (expected
+         |bucket ~16 at any corpus size) with tables scaled to hold recall
+         |and the hot-bucket cap ON by default; IVF cells track sqrt(n).
+         |
          || path | recall@5 | sec |
          || --- | --- | --- |
-         || multi-table random-hyperplane LSH (q_ann_topk, 12 tables) | ${f"$annRecall%.4f"} | ${f"${opsTimes.toMap.getOrElse("q_ann_topk", 0.0)}%.3f"} |
-         || same, 6 tables (knob point — half the index work) | ${f"${annKnob._2}%.4f"} | ${f"${annKnob._1}%.3f"} |
-         || IVF-flat, deterministic centroids (q_ivf_topk, nprobe 4/16) | ${f"$ivfRecall%.4f"} | ${f"${opsTimes.toMap.getOrElse("q_ivf_topk", 0.0)}%.3f"} |
-         || same, nprobe 8/16 (knob point) | ${f"${ivfKnob._2}%.4f"} | ${f"${ivfKnob._1}%.3f"} |
+         || RH-LSH, auto planes/tables + cap (q_ann_topk defaults) | ${f"$annRecall%.4f"} | ${f"${opsTimes.toMap.getOrElse("q_ann_topk", 0.0)}%.3f"} |
+         || RH-LSH, 12 tables at auto planes (knob — cheaper, lower recall) | ${f"${annKnob._2}%.4f"} | ${f"${annKnob._1}%.3f"} |
+         || IVF-flat, deterministic centroids (q_ivf_topk, nprobe 4) | ${f"$ivfRecall%.4f"} | ${f"${opsTimes.toMap.getOrElse("q_ivf_topk", 0.0)}%.3f"} |
+         || IVF-flat, deterministic, nprobe 8 (knob) | ${f"${ivfKnob._2}%.4f"} | ${f"${ivfKnob._1}%.3f"} |
+         || IVF-flat, KMEANS-TRAINED cells, nprobe 4 (production default) | ${f"${ivfTrained._2}%.4f"} | ${f"${ivfTrained._1}%.3f"} |
+         || IVF-flat, KMeans-trained, nprobe 8 | ${f"${ivfTrained8._2}%.4f"} | ${f"${ivfTrained8._1}%.3f"} |
          |
-         |Both knobs buy recall linearly in index work while preserving the
+         |The knobs buy recall linearly in index work while preserving the
          |bucketed (non-quadratic) plan shape — the tradeoff a 100-TB run
          |tunes instead of ever falling back to the brute cross join
          |(q_knn_brute, ${f"${opsTimes.toMap.getOrElse("q_knn_brute", 0.0)}%.3f"}s here).
+         |NOTE on this corpus: the synthetic embeddings are near-random
+         |(typical top-5 cosine ~0.4 vs ~0 bulk), the hardest regime for
+         |ANY sublinear index — LSH needs ~23% of the brute pair mass for
+         |recall ~0.66 here, while clustered real corpora separate far
+         |better at the same knobs. The trained-IVF path is the benched
+         |production default; the LSH path stays the right shape for
+         |streaming/dedup-flavoured workloads.
          |
          |## spark-submit launch path
          |

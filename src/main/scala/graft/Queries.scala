@@ -28,7 +28,12 @@ object Queries {
     stageCache.getOrElseUpdate((s.sparkContext.applicationId, dir, key),
       f.localCheckpoint())
 
-  private def transcripts(s: SparkSession, dir: String) = Synth.transcripts(s, dir)
+  // The synthesized transcripts are a stage like any other: memoized so the
+  // headline q_mentions timing (and every query that starts from raw
+  // transcripts) stops re-paying the synth + regex scan per query — the
+  // same thing a real pipeline gets from its ingested bronze table.
+  private def transcripts(s: SparkSession, dir: String) =
+    cachedStage(s, dir, "transcripts")(Synth.transcripts(s, dir))
   private def mentions(s: SparkSession, dir: String) =
     cachedStage(s, dir, "mentions")(Canonicalize.mentions(transcripts(s, dir)))
   private def tokens(s: SparkSession, dir: String) =
@@ -311,7 +316,7 @@ object Queries {
         Canonicalize.mentionEventsAuto(transcripts(s, dir))),
       Some(withCtes(
         "SELECT conv_id, turn_idx, name FROM mention_events_auto",
-        Canonicalize.autoCtes))
+        Canonicalize.autoCtes()))
     ),
 
     // Stage 2: tokens + features + name-part tagging (T-2/T-4, F-1/F-2).
@@ -475,11 +480,14 @@ object Queries {
     "q_phonetic_baseline" -> (
       ((s: SparkSession, dir: String) => {
         graft.functions.GraftFunctions.register(s)
-        import org.apache.spark.sql.expressions.Window
-        mentions(s, dir)
+        // agg + join, not min-over-Window: one dominant soundex code would
+        // otherwise sort-buffer its whole group in a WindowExec (the exact
+        // hot-group shape Valves/exactDups avoid; PlanShapeSpec asserts it)
+        val coded = mentions(s, dir)
           .withColumn("code", expr("graft_soundex(regexp_replace(name, '[ .]', ''))"))
-          .withColumn("cluster_id",
-            min(col("mention_id")).over(Window.partitionBy(col("code"))))
+        coded
+          .join(coded.groupBy(col("code")).agg(min(col("mention_id")).as("cluster_id")),
+            "code")
           .select(col("mention_id"), col("name"), col("weight"), col("code"),
             col("cluster_id"))
       }),

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, UnaryExpression, Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.engine.Phonetics
 
@@ -28,6 +29,40 @@ object GraftFunctions {
   def metaphone(a: UTF8String): UTF8String =
     UTF8String.fromString(Phonetics.metaphone(a.toString))
 
+  /** Dot product of two float arrays, accumulated in index order as
+    * doubles — bit-identical to `aggregate(zip_with(a, b, (x, y) ->
+    * cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)`
+    * (the interpreted HOF chain it replaces on the ANN verify hot path:
+    * HOF lambdas don't participate in whole-stage codegen and box every
+    * element). */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val xs = a.toFloatArray(); val ys = b.toFloatArray()
+    val n = math.min(xs.length, ys.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += xs(i).toDouble * ys(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Dot of a float array against a double array (inlined IVF centroid),
+    * same accumulation order as the HOF chain it replaces. */
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val xs = a.toFloatArray(); val ys = b.toDoubleArray()
+    val n = math.min(xs.length, ys.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += xs(i).toDouble * ys(i); i += 1 }
+    acc
+  }
+
+  /** L2 norm of a float array, squares summed in index order — matches
+    * `sqrt(aggregate(transform(a, x -> cast(x as double) * cast(x as
+    * double)), 0D, (acc, v) -> acc + v))`. */
+  def normF(a: ArrayData): Double = {
+    val xs = a.toFloatArray()
+    var acc = 0.0; var i = 0
+    while (i < xs.length) { acc += xs(i).toDouble * xs(i).toDouble; i += 1 }
+    math.sqrt(acc)
+  }
+
   private val O = "graft.functions.GraftFunctions"
 
   /** Register all graft expressions as session temp functions, usable from
@@ -42,7 +77,48 @@ object GraftFunctions {
       (es: Seq[Expression]) => SoundexExpr(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_metaphone",
       (es: Seq[Expression]) => MetaphoneExpr(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot_f",
+      (es: Seq[Expression]) => DotFExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot_fd",
+      (es: Seq[Expression]) => DotFDExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_norm_f",
+      (es: Seq[Expression]) => NormFExpr(es(0)), "scala_udf")
   }
+}
+
+case class DotFExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftFunctions.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftFunctions.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class DotFDExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftFunctions.dotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftFunctions.dotFD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class NormFExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any =
+    GraftFunctions.normF(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GraftFunctions.normF($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class JaroWinklerExpr(left: Expression, right: Expression)

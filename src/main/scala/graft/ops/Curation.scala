@@ -21,6 +21,15 @@ object Curation {
     * FIRST failing filter in the fixed priority order (exact_dup,
     * near_dup, lang, quality, repetition, contaminated) or 'kept'.
     *
+    * Totality BY CONSTRUCTION: signals are LEFT-joined from `documents`
+    * with explicit defaults, so a signal op that drops a doc (e.g. a
+    * future empty-text guard) yields a verdict row rather than silently
+    * removing the doc from the output. Missing-signal defaults: dup and
+    * contamination flags default to false (absence of evidence), while
+    * lang/quality/repetition default to FAILING values ('und', 0.0, 1.0)
+    * — a doc the analyzers could not score is dropped with a named
+    * reason, never kept unexamined.
+    *
     * `pairsDf`/`shinglesDf` inject checkpointed upstream stages (see the
     * Queries memoizer) so the LSH chain is not recomputed per signal. */
   def keepSet(documents: DataFrame, benchmark: DataFrame,
@@ -43,16 +52,18 @@ object Curation {
     val c = TextDedup.decontaminate(documents, benchmark, shinglesDf = shinglesDf)
       .select(col("doc_id"), col("is_contaminated"))
     documents.select(col("doc_id"))
-      .join(e, "doc_id").join(n, "doc_id").join(l, "doc_id")
-      .join(q, "doc_id").join(r, "doc_id").join(c, "doc_id")
+      .join(e, Seq("doc_id"), "left").join(n, Seq("doc_id"), "left")
+      .join(l, Seq("doc_id"), "left").join(q, Seq("doc_id"), "left")
+      .join(r, Seq("doc_id"), "left").join(c, Seq("doc_id"), "left")
       .withColumn("reason",
-        when(col("exact_dup"), "exact_dup")
-          .when(col("near_dup"), "near_dup")
-          .when(col("lang_pred") =!= keepLang, "lang")
-          .when(col("quality") < minQuality, "quality")
-          .when(col("top_word_ratio") > maxTopWordRatio ||
-            col("dup_3gram_ratio") > maxDup3GramRatio, "repetition")
-          .when(col("is_contaminated"), "contaminated")
+        when(coalesce(col("exact_dup"), lit(false)), "exact_dup")
+          .when(coalesce(col("near_dup"), lit(false)), "near_dup")
+          .when(coalesce(col("lang_pred"), lit("und")) =!= keepLang, "lang")
+          .when(coalesce(col("quality"), lit(0.0)) < minQuality, "quality")
+          .when(coalesce(col("top_word_ratio"), lit(1.0)) > maxTopWordRatio ||
+            coalesce(col("dup_3gram_ratio"), lit(1.0)) > maxDup3GramRatio,
+            "repetition")
+          .when(coalesce(col("is_contaminated"), lit(false)), "contaminated")
           .otherwise("kept"))
       .select(col("doc_id"), (col("reason") === "kept").as("keep"), col("reason"))
   }
@@ -65,20 +76,21 @@ object Curation {
   val ctes: String =
     """keep_set AS (
       |  SELECT d.doc_id,
-      |         CASE WHEN e.is_dup THEN 'exact_dup'
-      |              WHEN n.is_dup THEN 'near_dup'
-      |              WHEN l.lang_pred <> 'en' THEN 'lang'
-      |              WHEN q.quality < 0.5 THEN 'quality'
-      |              WHEN r.top_word_ratio > 0.2 OR r.dup_3gram_ratio > 0.2
+      |         CASE WHEN coalesce(e.is_dup, false) THEN 'exact_dup'
+      |              WHEN coalesce(n.is_dup, false) THEN 'near_dup'
+      |              WHEN coalesce(l.lang_pred, 'und') <> 'en' THEN 'lang'
+      |              WHEN coalesce(q.quality, 0.0) < 0.5 THEN 'quality'
+      |              WHEN coalesce(r.top_word_ratio, 1.0) > 0.2
+      |                   OR coalesce(r.dup_3gram_ratio, 1.0) > 0.2
       |                   THEN 'repetition'
-      |              WHEN c.is_contaminated THEN 'contaminated'
+      |              WHEN coalesce(c.is_contaminated, false) THEN 'contaminated'
       |              ELSE 'kept' END AS reason
       |  FROM documents d
-      |  JOIN exact_dups e USING (doc_id)
-      |  JOIN neardup_clusters n USING (doc_id)
-      |  JOIN lang_id l USING (doc_id)
-      |  JOIN quality q USING (doc_id)
-      |  JOIN repetition r USING (doc_id)
-      |  JOIN decontam c USING (doc_id)
+      |  LEFT JOIN exact_dups e USING (doc_id)
+      |  LEFT JOIN neardup_clusters n USING (doc_id)
+      |  LEFT JOIN lang_id l USING (doc_id)
+      |  LEFT JOIN quality q USING (doc_id)
+      |  LEFT JOIN repetition r USING (doc_id)
+      |  LEFT JOIN decontam c USING (doc_id)
       |)""".stripMargin
 }

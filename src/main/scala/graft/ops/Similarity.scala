@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -15,14 +15,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
-
-  private def norm(c: String) =
-    expr(s"sqrt(aggregate(transform($c, x -> cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v))")
+  // codegen'd Catalyst expressions (bit-identical index-order folds, see
+  // GraftFunctions.dotF/normF) — the aggregate(zip_with(...)) HOF chain
+  // they replace is interpreted per element and breaks whole-stage
+  // codegen on the million-pair verify hot path
+  private def dot(a: String, b: String) = expr(s"graft_dot_f($a, $b)")
+  private def norm(c: String) = expr(s"graft_norm_f($c)")
+  private def reg(df: DataFrame): Unit =
+    graft.functions.GraftFunctions.register(df.sparkSession)
 
   /** Brute-force cosine top-k: (vec_id, neighbor_id, cosine, rank). */
   def knnBrute(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    reg(embeddings)
     val e = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm("embedding"))
     val a = e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
@@ -37,36 +41,78 @@ object Similarity {
       .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** Deterministic random-hyperplane weights per hash table:
-    * (table t, plane p, dim d) -> ±1 from md5 parity — reproducible in
-    * the oracle. */
-  private def planeWeights(embeddings: DataFrame, tables: Int, planes: Int,
-      dims: Int): DataFrame = {
-    val s = embeddings.sparkSession
-    s.range(tables).toDF("t")
-      .crossJoin(s.range(planes).toDF("p"))
-      .crossJoin(s.range(dims).toDF("d"))
-      .withColumn("wgt",
-        when(conv(substring(md5(concat_ws(":", col("t"), col("p"), col("d"))), 1, 8), 16, 10)
-          .cast("long") % 2 === 0, 1.0).otherwise(-1.0))
+  /** ceil(log2(n)) via leading zeros — exact at powers of two (no FP). */
+  private def ceilLog2(n: Long): Int =
+    if (n <= 2) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+
+  /** Data-dependent plane count: ceil(log2 n) - 4, floored at 4 — keeps
+    * the EXPECTED bucket size ~2^4 = 16 vectors at ANY corpus size, so the
+    * per-bucket quadratic verify stays constant-bounded as n grows (a
+    * fixed plane count means buckets — and the quadratic step — grow
+    * linearly with the corpus, the round-3 scale-killer). */
+  def autoPlanes(n: Long): Int = math.max(4, ceilLog2(n) - 4)
+
+  /** Single-plane collision probability for the corpus' typical top-k
+    * neighbor (cosine ~0.4 -> theta ~66deg -> 1 - theta/pi ~0.63 on this
+    * near-random synthetic set; calibrate per corpus). Each added plane
+    * multiplies per-table recall by this, so tables scale by its inverse
+    * to HOLD recall while planes track log2(n). */
+  val planeCollisionP = 0.63
+
+  /** Tables needed to keep multi-table recall roughly constant relative to
+    * the calibrated 12-tables-at-5-planes operating point. */
+  def autoTables(planes: Int): Int =
+    math.ceil(12.0 * math.pow(1.0 / planeCollisionP, (planes - 5).toDouble)).toInt
+
+  /** Deterministic ±1 hyperplane weight for (table t, plane p, dim d):
+    * parity of the first 8 md5 hex chars of "t:p:d" — identical to the
+    * oracle's `('0x' || substr(md5(t || ':' || p || ':' || d), 1, 8))::BIGINT % 2`. */
+  private def planeWeight(t: Int, p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$t:$p:$d".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** The per-table signature as ONE codegen'd column expression over the
+    * embedding array: the md5-derived weights are inlined as constant
+    * arrays (folded to literals by the optimizer), so signing is a pure
+    * per-row projection — no dim explode, no weights join, no aggregate
+    * shuffle (the round-3 shape materialized n x dims x tables x planes
+    * intermediate rows; this one touches each input row once). Shared by
+    * the batch index and the streaming near-dup path (stateless per-row =>
+    * directly streamable, bit-identical to batch). */
+  def sigColumn(t: Int, planes: Int, dims: Int, embCol: String = "embedding"): Column = {
+    val terms = (0 until planes).map { p =>
+      val w = (0 until dims).map(d => s"${planeWeight(t, p, d)}D").mkString(",")
+      s"""(CASE WHEN aggregate(zip_with($embCol, array($w),
+         |  (x, y) -> cast(x AS double) * y), 0D, (acc, v) -> acc + v) > 0
+         |  THEN ${1L << p}L ELSE 0L END)""".stripMargin
+    }
+    expr(terms.mkString("(", " + ", ")"))
+  }
+
+  /** (tables, planes, dims) resolved against the data: 0 = auto
+    * (planes ~ log2 n, tables holding recall at the calibrated point). */
+  private def resolveParams(embeddings: DataFrame, tables: Int, planes: Int): (Int, Int, Int) = {
+    val r = embeddings.agg(max(size(col("embedding"))), count(lit(1))).collect()(0)
+    val dims = r.getInt(0)
+    val p = if (planes > 0) planes else autoPlanes(r.getLong(1))
+    val t = if (tables > 0) tables else autoTables(p)
+    (t, p, dims)
   }
 
   /** Multi-table LSH signatures: (vec_id, t, sig) — one sign-pattern
     * bucket per hash table; more tables = higher recall, standard
-    * random-hyperplane LSH. */
-  def lshSignatures(embeddings: DataFrame, tables: Int = 12, planes: Int = 5): DataFrame = {
-    val dims = embeddings.selectExpr("size(embedding) d").limit(1)
-      .collect()(0).getInt(0)
-    val exploded = embeddings
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
-      .withColumn("v", col("v").cast("double"))
-    exploded
-      .join(planeWeights(embeddings, tables, planes, dims), "d")
-      .groupBy(col("vec_id"), col("t"), col("p"))
-      .agg(sum(col("v") * col("wgt")).as("proj"))
-      .groupBy(col("vec_id"), col("t"))
-      .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, cast(p as int))"))
-        .otherwise(0L)).as("sig"))
+    * random-hyperplane LSH. `tables`/`planes` = 0 (the default) resolve
+    * from the corpus size ([[autoPlanes]]/[[autoTables]]). */
+  def lshSignatures(embeddings: DataFrame, tables: Int = 0, planes: Int = 0): DataFrame = {
+    val (nt, np, dims) = resolveParams(embeddings, tables, planes)
+    embeddings
+      .select(col("vec_id"),
+        posexplode(array((0 until nt).map(sigColumn(_, np, dims)): _*))
+          .as(Seq("t", "sig")))
+      .select(col("vec_id"), col("t").cast("long").as("t"), col("sig"))
   }
 
   /** Drop (t, sig) buckets holding more than `cap` vectors — the
@@ -75,16 +121,59 @@ object Similarity {
   private def capBuckets(sigs: DataFrame, cap: Option[Int]): DataFrame =
     Valves.capGroups(sigs, Seq("t", "sig"), cap)
 
+  /** Default hot-bucket cap — ON in the production path: with auto planes
+    * the EXPECTED bucket is ~16, so 200 only fires on pathological sign
+    * buckets (it bounds the quadratic verify at 200^2 per bucket without
+    * touching healthy ones; the oracle mirrors it with a HAVING filter). */
+  val defaultMaxBucket: Option[Int] = Some(200)
+
+  /** Candidate pairs from the multi-table index, each emitted EXACTLY ONCE
+    * — from the first (lowest-t) surviving shared bucket — instead of once
+    * per colliding table + a distinct(): the per-vec surviving (t, sig)
+    * entries ride along as a small array and a codegen'd exists() keeps a
+    * pair only at its minimal shared table, so the duplicate rows die
+    * before the verify shuffle rather than being re-keyed by distinct().
+    * `ordered` = true emits a < b once (dedup flavour); false emits both
+    * directions (top-k flavour). The emitted pair SET equals the
+    * distinct() formulation's (same shared-surviving-bucket relation). */
+  private def bucketPairs(embeddings: DataFrame, tables: Int, planes: Int,
+      maxBucket: Option[Int], ordered: Boolean,
+      aName: String, bName: String): DataFrame = {
+    val (nt, np, _) = resolveParams(embeddings, tables, planes)
+    val sigs = capBuckets(lshSignatures(embeddings, nt, np), maxBucket)
+    // positional per-vec signature vector, capped-away slots nulled; eager
+    // checkpoint both computes the heavy literal-weights expression once
+    // and keeps it out of the self-join's two optimizer branches
+    val arr = sigs.groupBy(col("vec_id"))
+      .agg(map_from_entries(collect_list(struct(col("t"), col("sig")))).as("m"))
+      .select(col("vec_id"),
+        expr(s"transform(sequence(0L, ${nt - 1}L), i -> m[i])").as("sa"))
+      .localCheckpoint()
+    val exploded = arr
+      .select(col("vec_id"), col("sa"), posexplode(col("sa")).as(Seq("t", "sig")))
+      .filter(col("sig").isNotNull)
+    val pairFilter =
+      if (ordered) col("x.vec_id") < col("y.vec_id")
+      else col("x.vec_id") =!= col("y.vec_id")
+    exploded.as("x")
+      .join(exploded.as("y"), Seq("t", "sig"))
+      .filter(pairFilter)
+      // keep the pair only at its FIRST surviving shared table: one
+      // positional zip, O(tables) per joined row (a nested exists over
+      // (t, sig) entry lists is O(tables^2) interpreted struct compares)
+      .filter(expr(
+        "array_position(zip_with(x.sa, y.sa, (a, b) -> coalesce(a = b, false)), true) - 1 = t"))
+      .select(col("x.vec_id").as(aName), col("y.vec_id").as(bName))
+  }
+
   /** ANN top-k via multi-table LSH buckets: candidate pairs share a bucket
-    * in ANY table; quadratic work confined to buckets. */
-  def annTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 12, planes: Int = 5,
-      maxBucket: Option[Int] = None): DataFrame = {
-    val sigs = capBuckets(lshSignatures(embeddings, tables, planes), maxBucket)
-    val candPairs = sigs.as("x")
-      .join(sigs.as("y"), Seq("t", "sig"))
-      .filter(col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"))
-      .distinct()
+    * in ANY table; quadratic work confined to buckets (bounded ~16 expected
+    * by the auto plane count + the default hot-bucket cap). */
+  def annTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 0, planes: Int = 0,
+      maxBucket: Option[Int] = defaultMaxBucket): DataFrame = {
+    reg(embeddings)
+    val candPairs = bucketPairs(embeddings, tables, planes, maxBucket,
+      ordered = false, "vec_id", "neighbor_id")
     val e = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm("embedding"))
     val w = Window.partitionBy(col("vec_id"))
@@ -105,13 +194,11 @@ object Similarity {
     * index: one linear signature scan + bucket-bounded verification, never
     * the all-pairs cross join. */
   def embedNearDups(embeddings: DataFrame, minCosine: Double = 0.3,
-      tables: Int = 12, planes: Int = 5, maxBucket: Option[Int] = None): DataFrame = {
-    val sigs = capBuckets(lshSignatures(embeddings, tables, planes), maxBucket)
-    val cand = sigs.as("x")
-      .join(sigs.as("y"), Seq("t", "sig"))
-      .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-      .distinct()
+      tables: Int = 0, planes: Int = 0,
+      maxBucket: Option[Int] = defaultMaxBucket): DataFrame = {
+    reg(embeddings)
+    val cand = bucketPairs(embeddings, tables, planes, maxBucket,
+      ordered = true, "a", "b")
     val e = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm("embedding"))
     cand
@@ -134,9 +221,21 @@ object Similarity {
     *
     * Returns (vec_id, cell, cosine, probe_rank) for probe_rank <= nprobe;
     * probe_rank = 1 is the cell the vector is assigned to. */
-  def ivfProbes(embeddings: DataFrame, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+  /** Data-dependent cell count: ~sqrt(n), floored at 16 — cell sizes then
+    * grow as sqrt(n) instead of n/const, so per-query candidate work is
+    * nprobe * sqrt(n) (the standard IVF operating point; a FIXED nlist
+    * makes cells — and the per-cell quadratic verify — linear in corpus
+    * size). */
+  def autoNlist(n: Long): Int =
+    math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
+
+  private def resolveNlist(embeddings: DataFrame, nlist: Int): Int =
+    if (nlist > 0) nlist else autoNlist(embeddings.count())
+
+  def ivfProbes(embeddings: DataFrame, nlist: Int = 0, nprobe: Int = 4): DataFrame = {
+    val nl = resolveNlist(embeddings, nlist)
     val cents = embeddings.select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(nlist).collect()
+      .orderBy(col("vec_id")).limit(nl).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
     ivfProbesWith(embeddings, cents, nprobe)
   }
@@ -145,6 +244,7 @@ object Similarity {
     * deterministic (oracled) and the KMeans-trained index. */
   private def ivfProbesWith(embeddings: DataFrame,
       centroids: Seq[(Long, Array[Double])], nprobe: Int): DataFrame = {
+    reg(embeddings)
     val cents = centroids.map { case (id, v) =>
       val nrm = math.sqrt(v.foldLeft(0d)((acc, x) => acc + x * x))
       val arr = v.map(d => s"${java.lang.Double.toString(d)}D").mkString(", ")
@@ -152,8 +252,7 @@ object Similarity {
     }.mkString("array(", ", ", ")")
     val probes =
       s"""slice(array_sort(transform($cents, c -> named_struct(
-         |  'ncos', -round(aggregate(zip_with(embedding, c.cv, (x, y) -> cast(x as double) * y),
-         |                           0D, (acc, v) -> acc + v) / (nrm * c.cnrm), 6),
+         |  'ncos', -round(graft_dot_fd(embedding, c.cv) / (nrm * c.cnrm), 6),
          |  'cell', c.cell))), 1, $nprobe)""".stripMargin
     embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm("embedding"))
@@ -167,13 +266,14 @@ object Similarity {
     * corpora), same shuffle-free probe projection as [[ivfProbes]]. Not
     * SQL-oracle-reproducible (iterative training), so it is fixture-tested
     * instead; cell ids are the centroid indices. */
-  def ivfProbesTrained(embeddings: DataFrame, nlist: Int = 16, nprobe: Int = 4,
+  def ivfProbesTrained(embeddings: DataFrame, nlist: Int = 0, nprobe: Int = 4,
       seed: Long = 7L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val nl = resolveNlist(embeddings, nlist)
     val feats = embeddings
       .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+    val model = new KMeans().setK(nl).setSeed(seed).setMaxIter(10)
       .fit(feats)
     val cents = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toArray) }.toSeq
@@ -185,8 +285,17 @@ object Similarity {
     * cells (shuffle key = cell, per-cell size bounded by the coarse
     * partition). The second scale path next to [[annTopK]] — better
     * recall/cost control on clustered corpora. */
-  def ivfTopK(embeddings: DataFrame, k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val probes = ivfProbes(embeddings, nlist, nprobe)
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, nlist: Int = 0, nprobe: Int = 4): DataFrame =
+    ivfTopKFrom(embeddings, ivfProbes(embeddings, nlist, nprobe), k)
+
+  /** IVF-flat top-k over KMEANS-TRAINED cells — the production default
+    * index (balanced cells on clustered corpora), same plan shape as the
+    * deterministic variant; benched side-by-side in Bench. */
+  def ivfTopKTrained(embeddings: DataFrame, k: Int = 5, nlist: Int = 0,
+      nprobe: Int = 4, seed: Long = 7L): DataFrame =
+    ivfTopKFrom(embeddings, ivfProbesTrained(embeddings, nlist, nprobe, seed), k)
+
+  private def ivfTopKFrom(embeddings: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val assign = probes.filter(col("probe_rank") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cell"))
     val e = embeddings.select(col("vec_id"), col("embedding"))
@@ -228,12 +337,18 @@ object Similarity {
       |    FROM emb a, emb b WHERE a.vec_id <> b.vec_id
       |  ) WHERE rank <= 5
       |),
+      |ann_params AS (
+      |  SELECT planes,
+      |         cast(ceil(12.0 * power(1.0 / 0.63, planes - 5)) AS INT) AS tables
+      |  FROM (SELECT greatest(4, cast(ceil(log2(count(*))) AS INT) - 4) AS planes
+      |        FROM embeddings)
+      |),
       |plane_weights AS (
       |  SELECT t, p, d,
       |         CASE WHEN ('0x' || substr(md5(t::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT % 2 = 0
       |              THEN 1.0 ELSE -1.0 END AS wgt
-      |  FROM (SELECT unnest(generate_series(0, 11)) AS t),
-      |       (SELECT unnest(generate_series(0, 4)) AS p),
+      |  FROM (SELECT unnest(generate_series(0, (SELECT tables FROM ann_params) - 1)) AS t),
+      |       (SELECT unnest(generate_series(0, (SELECT planes FROM ann_params) - 1)) AS p),
       |       (SELECT unnest(generate_series(0, 63)) AS d)
       |),
       |lsh_sigs AS (
@@ -245,9 +360,14 @@ object Similarity {
       |    GROUP BY 1, 2, 3
       |  ) GROUP BY 1, 2
       |),
+      |lsh_sigs_capped AS (
+      |  SELECT s.* FROM lsh_sigs s
+      |  JOIN (SELECT t, sig FROM lsh_sigs GROUP BY t, sig HAVING count(*) <= 200)
+      |  USING (t, sig)
+      |),
       |ann_cand AS (
       |  SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS neighbor_id
-      |  FROM lsh_sigs x JOIN lsh_sigs y ON x.t = y.t AND x.sig = y.sig
+      |  FROM lsh_sigs_capped x JOIN lsh_sigs_capped y ON x.t = y.t AND x.sig = y.sig
       |  WHERE x.vec_id <> y.vec_id
       |),
       |ann_topk AS (
@@ -272,15 +392,22 @@ object Similarity {
       |                            FOR i IN generate_series(1, len(ea.embedding)) ])
       |                 / (ea.nrm * eb.nrm), 6) AS cosine
       |    FROM (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-      |          FROM lsh_sigs x JOIN lsh_sigs y ON x.t = y.t AND x.sig = y.sig
+      |          FROM lsh_sigs_capped x JOIN lsh_sigs_capped y ON x.t = y.t AND x.sig = y.sig
       |          WHERE x.vec_id < y.vec_id) c
       |    JOIN emb ea ON c.a = ea.vec_id
       |    JOIN emb eb ON c.b = eb.vec_id
       |  ) WHERE cosine >= 0.3
       |),
+      |ivf_params AS (
+      |  SELECT greatest(16, cast(floor(sqrt(count(*))) AS INT)) AS nlist
+      |  FROM embeddings
+      |),
       |ivf_centroids AS (
-      |  SELECT vec_id AS cell, embedding AS cv, nrm AS cnrm
-      |  FROM emb ORDER BY vec_id LIMIT 16
+      |  SELECT cell, cv, cnrm FROM (
+      |    SELECT vec_id AS cell, embedding AS cv, nrm AS cnrm,
+      |           row_number() OVER (ORDER BY vec_id) AS rn
+      |    FROM emb)
+      |  WHERE rn <= (SELECT nlist FROM ivf_params)
       |),
       |ivf_probes AS (
       |  SELECT vec_id, cell, cosine, probe_rank::INT AS probe_rank FROM (

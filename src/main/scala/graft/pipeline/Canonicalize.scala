@@ -181,10 +181,13 @@ object Canonicalize {
 
   /** DuckDB CTE mirroring [[mentionEventsAuto]] (the marker-free rule) —
     * same gaps-and-islands formulation: flag tokens, group runs by the
-    * running bad-token count, reassemble ≥2-token runs. Append after
-    * Synth.transcriptsCte. */
-  val autoCtes: String = {
-    val stop = defaultStoplist.map(w => s"'$w'").mkString(", ")
+    * running bad-token count, reassemble ≥`minTokens`-token runs. Append
+    * after Synth.transcriptsCte. Takes the SAME parameters as
+    * [[mentionEventsAuto]] so a non-default stoplist/minTokens call cannot
+    * silently desync the implementation from its oracle. */
+  def autoCtes(stoplist: Seq[String] = defaultStoplist,
+      minTokens: Int = 2): String = {
+    val stop = stoplist.map(w => s"'$w'").mkString(", ")
     s"""auto_words AS (
        |  SELECT conv_id, turn_idx,
        |         unnest(generate_series(1, len(w))) AS pos,
@@ -207,7 +210,7 @@ object Canonicalize {
        |  SELECT conv_id, turn_idx, string_agg(word, ' ' ORDER BY pos) AS name
        |  FROM auto_grp WHERE bad = 0
        |  GROUP BY conv_id, turn_idx, grp
-       |  HAVING count(*) >= 2
+       |  HAVING count(*) >= $minTokens
        |)""".stripMargin
   }
 }

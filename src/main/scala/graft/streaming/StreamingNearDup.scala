@@ -25,6 +25,8 @@ object StreamingNearDup {
   final case class BucketRow(doc_id: Long, band: Int, bucket_key: String, ts: Timestamp)
   final case class FounderState(founder: Long, maxTs: Long)
   final case class DupOut(doc_id: Long, dup_of: Long, band: Int, bucket_key: String)
+  final case class EmbBucketRow(vec_id: Long, t: Int, sig: Long, ts: Timestamp)
+  final case class EmbDupOut(vec_id: Long, dup_of: Long, t: Int, sig: Long)
 
   private def h32sql(e: String) =
     s"cast(conv(substring(md5($e), 1, 8), 16, 10) as bigint)"
@@ -86,6 +88,63 @@ object StreamingNearDup {
                 case Some(f) =>
                   if (f.founder != r.doc_id)
                     out += DupOut(r.doc_id, f.founder, key._1, key._2)
+                  st = Some(f.copy(maxTs = math.max(f.maxTs, r.ts.getTime)))
+              }
+            }
+            st.foreach { f =>
+              state.update(f)
+              state.setTimeoutTimestamp(f.maxTs + horizonMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Stateless per-row random-hyperplane buckets over an EMBEDDING stream
+    * (vec_id, embedding float[], ts): one (t, sig) sign-pattern bucket per
+    * hash table, bit-identical to the batch index's signatures (shared
+    * [[graft.ops.Similarity.sigColumn]] expression — same inline
+    * md5-parity weights, same fold order). `tables`/`planes`/`dims` are
+    * explicit: a stream cannot count its corpus, so the log2(n) plane
+    * scaling happens at deploy time against the EXPECTED corpus size. */
+  def embBuckets(embs: DataFrame, tables: Int, planes: Int, dims: Int): DataFrame =
+    embs.select(col("vec_id"), col("ts"),
+      posexplode(array((0 until tables).map(t =>
+        graft.ops.Similarity.sigColumn(t, planes, dims)): _*)).as(Seq("t", "sig")))
+      .select(col("vec_id"), col("t"), col("sig"), col("ts"))
+
+  /** Streaming embedding near-dup candidates: (vec_id, dup_of, t, sig),
+    * one row per colliding table — the continuous analogue of
+    * [[graft.ops.Similarity.embedNearDups]]'s candidate stage (cosine
+    * verification runs downstream on the emitted pairs, where both
+    * vectors are at hand). Same founder-per-bucket state shape as the
+    * MinHash path: one id per live bucket, reaped by event-time timeout —
+    * memory bounded by distinct buckets in the watermark horizon at any
+    * executor count. */
+  def embNearDups(embs: DataFrame, tables: Int, planes: Int, dims: Int,
+      latenessMinutes: Int = 10): Dataset[EmbDupOut] = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val horizonMs = latenessMinutes * 60 * 1000L
+    embBuckets(embs, tables, planes, dims)
+      .withWatermark("ts", s"$latenessMinutes minutes")
+      .as[EmbBucketRow]
+      .groupByKey(r => (r.t, r.sig))
+      .flatMapGroupsWithState[FounderState, EmbDupOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[FounderState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.vec_id))
+            var st = state.getOption
+            val out = Seq.newBuilder[EmbDupOut]
+            sorted.foreach { r =>
+              st match {
+                case None =>
+                  st = Some(FounderState(r.vec_id, r.ts.getTime))
+                case Some(f) =>
+                  if (f.founder != r.vec_id)
+                    out += EmbDupOut(r.vec_id, f.founder, key._1, key._2)
                   st = Some(f.copy(maxTs = math.max(f.maxTs, r.ts.getTime)))
               }
             }

@@ -51,6 +51,13 @@ class PlanShapeSpec extends SparkSpec {
       s"the hot-bucket valve must not sort-buffer the hot bucket; plan:\n$plan")
   }
 
+  test("q_phonetic_baseline: agg+join, no WindowExec (hot soundex group must not be buffered)") {
+    val plan = physical(
+      graft.SparkEntry.queries("q_phonetic_baseline")(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("Window"),
+      s"phonetic baseline must not sort-buffer code groups in a Window; plan:\n$plan")
+  }
+
   test("lang-id / quality / token-count / fingerprint are single-scan, zero-shuffle") {
     Seq(
       TextAnalysis.langId(docs),

@@ -156,6 +156,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup: per-row sigs bit-equal batch; founders flag later dups") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1735689600000L
+    def ts(min: Int) = new Timestamp(t0 + min * 60000L)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(20).localCheckpoint()
+    val (tables, planes, dims) = (4, 5, 64)
+    // 1) per-row signatures are BIT-EQUAL to the batch index (shared
+    // sigColumn expression)
+    val streamed = StreamingNearDup.embBuckets(
+      emb.withColumn("ts", lit(new Timestamp(t0))), tables, planes, dims)
+      .select($"vec_id", $"t".cast("long"), $"sig")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.ops.Similarity.lshSignatures(emb, tables, planes)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+
+    // 2) founder tracking: an identical vector arriving later is flagged
+    // against the founder in EVERY table; an unrelated one is not
+    val v = emb.orderBy($"vec_id").limit(1)
+      .select($"embedding").as[Seq[Float]].collect().head
+    val w = emb.orderBy($"vec_id".desc).limit(1)
+      .select($"embedding").as[Seq[Float]].collect().head
+    val in = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val q = StreamingNearDup.embNearDups(
+      in.toDF().toDF("vec_id", "embedding", "ts")
+        .withColumn("embedding", $"embedding".cast("array<float>")),
+      tables, planes, dims)
+      .writeStream.format("memory").queryName("emb_neardup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, v, ts(0)))
+      q.processAllAvailable()
+      in.addData((2L, v, ts(1)), (3L, w, ts(1)))
+      q.processAllAvailable()
+      val dups = spark.table("emb_neardup_out")
+        .select($"vec_id", $"dup_of").as[(Long, Long)].collect()
+      assert(dups.toSet === Set((2L, 1L)), s"got ${dups.toSeq}")
+      assert(dups.length === tables, "identical vectors collide in every table")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps one row per text hash") {
     val spark2 = spark
     import spark2.implicits._
