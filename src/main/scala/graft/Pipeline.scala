@@ -71,11 +71,15 @@ object Pipeline {
     (times.toSeq, assignments)
   }
 
-  /** CLI: runMain graft.Pipeline <sfDir> <workDir> [clusterer] [coder] */
+  /** CLI: runMain graft.Pipeline <sfDir> <workDir> [clusterer] [coder]
+    * [--preset]. `--preset` arms the production valves (graft.Presets) —
+    * the 100-TB-safe plan; omit it for exact reference semantics. */
   def main(args: Array[String]): Unit = {
-    val cfg = Config(args(0), args(1),
-      if (args.length > 2) args(2) else "greedy",
-      if (args.length > 3) args(3) else "soundex")
+    val pos = args.filterNot(_.startsWith("--"))
+    val cfg = Config(pos(0), pos(1),
+      if (pos.length > 2) pos(2) else "greedy",
+      if (pos.length > 3) pos(3) else "soundex",
+      maxBlockDf = if (args.contains("--preset")) Some(Presets.maxBlockDf) else None)
     val base = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.adaptive.enabled", "true")

@@ -86,8 +86,13 @@ object Queries {
   // baseline from the same computation it times (no second brute pass).
   private def knnBruteStage(s: SparkSession, dir: String) =
     cachedStage(s, dir, "knnBrute")(Similarity.knnBrute(embeddings(s, dir)))
+  // the LSH candidate stage (signatures + bucket join) is shared by
+  // q_ann_topk and q_embed_neardup — one index build per process
+  private def annCandStage(s: SparkSession, dir: String) =
+    cachedStage(s, dir, "annCand")(Similarity.annCandidates(embeddings(s, dir)))
   private def annTopKStage(s: SparkSession, dir: String) =
-    cachedStage(s, dir, "annTopK")(Similarity.annTopK(embeddings(s, dir)))
+    cachedStage(s, dir, "annTopK")(Similarity.annTopK(embeddings(s, dir),
+      candDf = Some(annCandStage(s, dir))))
   private def ivfTopKStage(s: SparkSession, dir: String) =
     cachedStage(s, dir, "ivfTopK")(Similarity.ivfTopK(embeddings(s, dir)))
 
@@ -192,7 +197,8 @@ object Queries {
         Similarity.ctes))
     ),
     "q_embed_neardup" -> (
-      ((s: SparkSession, dir: String) => Similarity.embedNearDups(embeddings(s, dir))),
+      ((s: SparkSession, dir: String) => Similarity.embedNearDups(embeddings(s, dir),
+        candDf = Some(annCandStage(s, dir)))),
       Some(rawCtes("SELECT a, b, cosine FROM embed_neardup", Similarity.ctes))
     ),
     "q_ivf_probes" -> (

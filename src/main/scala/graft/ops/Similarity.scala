@@ -166,14 +166,27 @@ object Similarity {
       .select(col("x.vec_id").as(aName), col("y.vec_id").as(bName))
   }
 
+  /** The shared LSH candidate stage: unordered near-pairs (a < b), each
+    * emitted once. Inject via `candDf` into [[annTopK]] / [[embedNearDups]]
+    * (the Queries memoizer does) so the signature index is built once per
+    * process, like a pipelined run that checkpoints its index. */
+  def annCandidates(embeddings: DataFrame, tables: Int = 0, planes: Int = 0,
+      maxBucket: Option[Int] = defaultMaxBucket): DataFrame =
+    bucketPairs(embeddings, tables, planes, maxBucket, ordered = true, "a", "b")
+
   /** ANN top-k via multi-table LSH buckets: candidate pairs share a bucket
     * in ANY table; quadratic work confined to buckets (bounded ~16 expected
     * by the auto plane count + the default hot-bucket cap). */
   def annTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 0, planes: Int = 0,
-      maxBucket: Option[Int] = defaultMaxBucket): DataFrame = {
+      maxBucket: Option[Int] = defaultMaxBucket,
+      candDf: Option[DataFrame] = None): DataFrame = {
     reg(embeddings)
-    val candPairs = bucketPairs(embeddings, tables, planes, maxBucket,
-      ordered = false, "vec_id", "neighbor_id")
+    // bucket collision is symmetric, so both directions of the shared
+    // unordered candidate stage = the unordered-join pair set
+    val ordered = candDf.getOrElse(annCandidates(embeddings, tables, planes, maxBucket))
+    val candPairs = ordered
+      .select(col("a").as("vec_id"), col("b").as("neighbor_id"))
+      .unionAll(ordered.select(col("b").as("vec_id"), col("a").as("neighbor_id")))
     val e = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm("embedding"))
     val w = Window.partitionBy(col("vec_id"))
@@ -195,10 +208,11 @@ object Similarity {
     * the all-pairs cross join. */
   def embedNearDups(embeddings: DataFrame, minCosine: Double = 0.3,
       tables: Int = 0, planes: Int = 0,
-      maxBucket: Option[Int] = defaultMaxBucket): DataFrame = {
+      maxBucket: Option[Int] = defaultMaxBucket,
+      candDf: Option[DataFrame] = None): DataFrame = {
     reg(embeddings)
-    val cand = bucketPairs(embeddings, tables, planes, maxBucket,
-      ordered = true, "a", "b")
+    val cand = candDf.getOrElse(
+      annCandidates(embeddings, tables, planes, maxBucket))
     val e = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm("embedding"))
     cand

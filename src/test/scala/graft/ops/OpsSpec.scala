@@ -176,6 +176,60 @@ class OpsSpec extends SparkSpec {
     assert(capped.filter($"rank" =!= 1).count() === 0)
   }
 
+  test("first-shared-table pair emission equals the distinct formulation, capped and uncapped") {
+    import org.apache.spark.sql.functions.{col => c}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // naive reference: join capped sigs on (t, sig), distinct unordered pairs
+    def naive(maxBucket: Option[Int]): Set[(Long, Long)] = {
+      val sigs = Valves.capGroups(Similarity.lshSignatures(emb), Seq("t", "sig"), maxBucket)
+      sigs.as("x").join(sigs.as("y"), Seq("t", "sig"))
+        .filter(c("x.vec_id") < c("y.vec_id"))
+        .select(c("x.vec_id"), c("y.vec_id")).distinct()
+        .as[(Long, Long)].collect().toSet
+    }
+    def firstShared(maxBucket: Option[Int]): Seq[(Long, Long)] =
+      Similarity.annCandidates(emb, maxBucket = maxBucket)
+        .as[(Long, Long)].collect().toSeq
+    // uncapped: identical pair SET, each pair exactly once
+    val fs = firstShared(None)
+    assert(fs.toSet === naive(None) && fs.distinct.length === fs.length)
+    // with a cap small enough to FIRE (exercises the nulled positional
+    // slots): still set-identical to the capped distinct formulation
+    val fsCap = firstShared(Some(8))
+    assert(fsCap.toSet === naive(Some(8)) && fsCap.distinct.length === fsCap.length)
+    assert(fsCap.toSet.size < fs.toSet.size, "cap=8 must actually prune here")
+  }
+
+  test("LSH recall on CLUSTERED embeddings is high (near-random corpus is the worst case)") {
+    // planted clusters: 40 centers x 10 members, member = center + small
+    // noise -> within-cluster cosine >> cross-cluster. The regime real
+    // embedding corpora live in, vs the near-random synthetic testdata.
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(40)(unit(Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val rows = for {
+      ci <- centers.indices
+      m <- 0 until 10
+    } yield {
+      // noise 0.05/dim over 64 dims -> noise norm^2 ~ 0.16 vs the unit
+      // center: within-cluster cosine ~ 0.86, cross-cluster ~ 0 (0.25/dim
+      // would make the noise norm 2x the center — near-random again)
+      val v = unit(centers(ci).map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+      (ci * 10L + m, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val brute = Similarity.knnBrute(emb, k = 1)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val ann = Similarity.annTopK(emb, k = 1)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val recall = brute.count { case (v, nn) => ann.get(v).contains(nn) }.toDouble / brute.size
+    assert(recall > 0.85, s"clustered-corpus top-1 recall $recall")
+  }
+
   test("LSH hot-bucket cap drops only pairs from oversized buckets") {
     // doc texts 1-3 identical -> same buckets everywhere (bucket size 3);
     // docs 4-5 identical -> bucket size 2. cap=2 must keep (4,5), drop 1-3 pairs.
