@@ -81,6 +81,8 @@ object Queries {
   private def lshPairsStage(s: SparkSession, dir: String) =
     cachedStage(s, dir, "lshPairs")(
       TextDedup.lshPairs(documents(s, dir), sigsDf = Some(minhashSigs(s, dir))))
+  private def simhashStage(s: SparkSession, dir: String) =
+    cachedStage(s, dir, "simhash")(TextDedup.simhash(documents(s, dir)))
 
   // ANN results are memoized so Bench can derive recall@k vs the brute
   // baseline from the same computation it times (no second brute pass).
@@ -139,8 +141,18 @@ object Queries {
         TextDedup.ctes))
     ),
     "q_simhash" -> (
-      ((s: SparkSession, dir: String) => TextDedup.simhash(documents(s, dir))),
+      ((s: SparkSession, dir: String) => simhashStage(s, dir)),
       Some(rawCtes("SELECT doc_id, simhash FROM doc_simhash", TextDedup.ctes))
+    ),
+
+    // SimHash near-dup pairs: banded hamming join — LOSSLESS for
+    // hamming <= 3 by pigeonhole over four 8-bit bands (the web-scale
+    // fingerprint dedup scheme next to the probabilistic MinHash path).
+    "q_simhash_neardup" -> (
+      ((s: SparkSession, dir: String) => TextDedup.simhashNearDups(
+        documents(s, dir), simhashDf = Some(simhashStage(s, dir)))),
+      Some(rawCtes("SELECT a, b, hamming FROM simhash_neardups",
+        TextDedup.ctes))
     ),
 
     // Near-dup GROUPS: connected components over the LSH pair graph —

@@ -136,6 +136,32 @@ object TextDedup {
       .select(col("doc_id"), col("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: (a, b, hamming) with a < b and
+    * hamming(simhash_a, simhash_b) <= `maxHamming`. Candidates share one
+    * of four exact 8-bit bands of the 32-bit fingerprint — by pigeonhole,
+    * any pair within hamming 3 differs in at most 3 of the 4 bands, so at
+    * least one band matches exactly and recall is LOSSLESS for
+    * maxHamming <= 3 (the classic web-scale hamming-join scheme; unlike
+    * MinHash-LSH there is no probabilistic miss). Quadratic work is
+    * confined to band buckets with the same `maxBucket` valve as
+    * [[lshPairs]]; the verify is one codegen'd bit_count(xor). */
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3,
+      maxBucket: Option[Int] = None,
+      simhashDf: Option[DataFrame] = None): DataFrame = {
+    require(maxHamming <= 3, "4x8-bit banding is lossless only for maxHamming <= 3")
+    val sh = simhashDf.getOrElse(simhash(documents))
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        expr(s"(simhash >> ${8 * i}) & 255")): _*)).as(Seq("band", "chunk")))
+    val capped = Valves.capGroups(bands, Seq("band", "chunk"), maxBucket)
+    capped.as("x").join(capped.as("y"), Seq("band", "chunk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("cast(bit_count(x.simhash ^ y.simhash) as int)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Near-duplicate GROUPS: connected components over the LSH candidate
     * pair graph, one row per document — (doc_id, cluster_id, is_dup) with
     * cluster_id = min doc id reachable through near-dup pairs (singletons
@@ -285,5 +311,17 @@ object TextDedup {
       |    ), (SELECT unnest(generate_series(0, 31)) AS b)
       |    GROUP BY 1, 2
       |  ) GROUP BY 1
+      |),
+      |simhash_bands AS (
+      |  SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS chunk
+      |  FROM doc_simhash, (SELECT unnest(generate_series(0, 3)) AS band)
+      |),
+      |simhash_neardups AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+      |         bit_count(xor(x.simhash, y.simhash))::INT AS hamming
+      |  FROM simhash_bands x
+      |  JOIN simhash_bands y ON x.band = y.band AND x.chunk = y.chunk
+      |  WHERE x.doc_id < y.doc_id
+      |    AND bit_count(xor(x.simhash, y.simhash)) <= 3
       |)""".stripMargin
 }

@@ -230,6 +230,21 @@ class OpsSpec extends SparkSpec {
     assert(recall > 0.85, s"clustered-corpus top-1 recall $recall")
   }
 
+  test("simhash banded hamming join finds EXACTLY the hamming<=3 pairs (lossless)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = TextDedup.simhash(d).localCheckpoint()
+    val brute = sh.as("x").crossJoin(sh.as("y"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id", $"y.doc_id",
+        expr("cast(bit_count(x.simhash ^ y.simhash) as int)").as("h"))
+      .filter($"h" <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val banded = TextDedup.simhashNearDups(d, simhashDf = Some(sh))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded === brute, "4x8-bit banding must be lossless for hamming <= 3")
+    assert(banded.nonEmpty, "sf0.001 corpus should contain simhash near-dups")
+  }
+
   test("LSH hot-bucket cap drops only pairs from oversized buckets") {
     // doc texts 1-3 identical -> same buckets everywhere (bucket size 3);
     // docs 4-5 identical -> bucket size 2. cap=2 must keep (4,5), drop 1-3 pairs.

@@ -200,6 +200,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless text-analysis ops run unchanged on a stream, batch-equal") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .as[(Long, String, String, String, Long)].collect().take(50)
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val streamDocs = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    // zero-shuffle single-scan projections (PlanShapeSpec) are directly
+    // streamable — same operator code, no adaptation layer
+    val q = graft.ops.TextAnalysis.qualityScore(streamDocs)
+      .writeStream.format("memory").queryName("ta_out")
+      .outputMode(OutputMode.Append).start()
+    val q2 = graft.ops.TextAnalysis.langId(streamDocs)
+      .writeStream.format("memory").queryName("ta_lang_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(rows)
+      q.processAllAvailable(); q2.processAllAvailable()
+      val batchDf = rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val streamedQ = spark.table("ta_out").collect().map(_.toSeq).toSet
+      val batchQ = graft.ops.TextAnalysis.qualityScore(batchDf)
+        .collect().map(_.toSeq).toSet
+      assert(streamedQ === batchQ && streamedQ.size === 50)
+      val streamedL = spark.table("ta_lang_out").collect().map(_.toSeq).toSet
+      val batchL = graft.ops.TextAnalysis.langId(batchDf)
+        .collect().map(_.toSeq).toSet
+      assert(streamedL === batchL)
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("streaming exact dedup keeps one row per text hash") {
     val spark2 = spark
     import spark2.implicits._
