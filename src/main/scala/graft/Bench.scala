@@ -450,7 +450,14 @@ object Bench {
     }
     def amdahlEff(w: Double): Double =
       (amdahlF + amdahlS * w / scaleN) / (4.0 * (amdahlF + amdahlS * w / scale4N))
-    val predEff256 = amdahlEff(256.0)
+    // guard: with straggler-contaminated samples the fit slope can come
+    // out non-positive/non-finite — publish the measured 64x efficiency
+    // instead of a nonsense extrapolation, and clamp the valid range
+    val predEff256 = {
+      val raw = if (amdahlS > 0 && amdahlF.isFinite && amdahlS.isFinite)
+        amdahlEff(256.0) else (tBlock64Lo / tBlock64Hi) / 4.0
+      math.max(0.0, math.min(1.2, raw))
+    }
     val tClusterHi = stagesHi._1 + stagesHi._2 + stagesHi._3
     val tClusterLo = stagesLo._1 + stagesLo._2 + stagesLo._3
 

@@ -69,9 +69,15 @@ object Presets {
   /** Full curation verdict with the capped LSH chain: one (doc_id, keep,
     * reason) row per document. */
   def curateDocuments(documents: DataFrame, benchmark: DataFrame): DataFrame = {
-    val shingles = TextDedup.shingles(documents)
+    // eager checkpoints: keepSet's contract is that injected stages are
+    // ALREADY materialized (the Queries memoizer does the same) — lazy
+    // frames here would re-derive the whole shingle->minhash chain per
+    // downstream signal
+    val shingles = TextDedup.shingles(documents).localCheckpoint()
+    val sigs = TextDedup.minhashSignatures(documents, shinglesDf = Some(shingles))
+      .localCheckpoint()
     val pairs = TextDedup.lshPairs(documents,
-      maxBucket = Some(maxLshBucket), sigsDf = None)
+      maxBucket = Some(maxLshBucket), sigsDf = Some(sigs)).localCheckpoint()
     Curation.keepSet(documents, benchmark,
       pairsDf = Some(pairs), shinglesDf = Some(shingles))
   }

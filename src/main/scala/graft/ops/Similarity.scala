@@ -24,9 +24,20 @@ object Similarity {
   private def reg(df: DataFrame): Unit =
     graft.functions.GraftFunctions.register(df.sparkSession)
 
+  /** Cosine kernels assume fixed-width embeddings; a ragged corpus would
+    * get silent partial-prefix dot products (wrong neighbors), so every
+    * index entry point fails fast instead. */
+  private def assertFixedWidth(embeddings: DataFrame): Unit = {
+    val r = embeddings.agg(min(size(col("embedding"))),
+      max(size(col("embedding")))).collect()(0)
+    require(r.getInt(0) == r.getInt(1),
+      s"embeddings must be fixed-width: saw sizes ${r.getInt(0)}..${r.getInt(1)}")
+  }
+
   /** Brute-force cosine top-k: (vec_id, neighbor_id, cosine, rank). */
   def knnBrute(embeddings: DataFrame, k: Int = 5): DataFrame = {
     reg(embeddings)
+    assertFixedWidth(embeddings)
     val e = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm("embedding"))
     val a = e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
@@ -45,12 +56,18 @@ object Similarity {
   private def ceilLog2(n: Long): Int =
     if (n <= 2) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
 
-  /** Data-dependent plane count: ceil(log2 n) - 4, floored at 4 — keeps
-    * the EXPECTED bucket size ~2^4 = 16 vectors at ANY corpus size, so the
-    * per-bucket quadratic verify stays constant-bounded as n grows (a
-    * fixed plane count means buckets — and the quadratic step — grow
-    * linearly with the corpus, the round-3 scale-killer). */
-  def autoPlanes(n: Long): Int = math.max(4, ceilLog2(n) - 4)
+  /** Data-dependent plane count: ceil(log2 n) - 4, floored at 4, CAPPED at
+    * 16 — keeps the EXPECTED bucket size ~2^4 = 16 vectors up to n ~ 1M
+    * (a fixed plane count means buckets — and the quadratic step — grow
+    * linearly with the corpus, the round-3 scale-killer). Beyond the cap
+    * the inlined-weights projection stays bounded (the cap bounds the
+    * expression at tables x 16 x dims literals) and the hot-bucket valve
+    * [[defaultMaxBucket]] carries the quadratic bound instead: bucket
+    * sizes grow but over-cap buckets are dropped per table, their members
+    * still covered by the other tables — graceful recall degradation, not
+    * unbounded work. Past that regime the recommended index is
+    * [[ivfTopKTrained]] (cells keep scaling as sqrt n). */
+  def autoPlanes(n: Long): Int = math.min(16, math.max(4, ceilLog2(n) - 4))
 
   /** Single-plane collision probability for the corpus' typical top-k
     * neighbor (cosine ~0.4 -> theta ~66deg -> 1 - theta/pi ~0.63 on this
@@ -60,9 +77,15 @@ object Similarity {
   val planeCollisionP = 0.63
 
   /** Tables needed to keep multi-table recall roughly constant relative to
-    * the calibrated 12-tables-at-5-planes operating point. */
+    * the calibrated 12-tables-at-5-planes operating point, CAPPED at 64:
+    * recall-holding table growth is exponential in added planes, so past
+    * the cap the operator trades recall instead of driver-side expression
+    * size (64 x 16 planes x 64 dims ~ 65k inlined weights, still a
+    * fast-to-plan expression; uncapped it reaches millions of literals at
+    * 10^6+ vectors and stalls Catalyst long before executor work). */
   def autoTables(planes: Int): Int =
-    math.ceil(12.0 * math.pow(1.0 / planeCollisionP, (planes - 5).toDouble)).toInt
+    math.min(64,
+      math.ceil(12.0 * math.pow(1.0 / planeCollisionP, (planes - 5).toDouble)).toInt)
 
   /** Deterministic ±1 hyperplane weight for (table t, plane p, dim d):
     * parity of the first 8 md5 hex chars of "t:p:d" — identical to the
@@ -83,21 +106,30 @@ object Similarity {
     * the batch index and the streaming near-dup path (stateless per-row =>
     * directly streamable, bit-identical to batch). */
   def sigColumn(t: Int, planes: Int, dims: Int, embCol: String = "embedding"): Column = {
+    // coalesce: a ragged (shorter-than-dims) embedding must contribute 0
+    // for its missing dims (SQL SUM-skips-NULL semantics, matching the
+    // oracle) — an unguarded product would null-poison the whole fold
     val terms = (0 until planes).map { p =>
       val w = (0 until dims).map(d => s"${planeWeight(t, p, d)}D").mkString(",")
       s"""(CASE WHEN aggregate(zip_with($embCol, array($w),
-         |  (x, y) -> cast(x AS double) * y), 0D, (acc, v) -> acc + v) > 0
+         |  (x, y) -> coalesce(cast(x AS double) * y, 0D)), 0D, (acc, v) -> acc + v) > 0
          |  THEN ${1L << p}L ELSE 0L END)""".stripMargin
     }
     expr(terms.mkString("(", " + ", ")"))
   }
 
-  /** (tables, planes, dims) resolved against the data: 0 = auto
-    * (planes ~ log2 n, tables holding recall at the calibrated point). */
+  /** (tables, planes, dims) resolved against the data in ONE aggregate
+    * action: 0 = auto (planes ~ log2 n, tables holding recall at the
+    * calibrated point). Also fails fast on ragged corpora — every cosine
+    * kernel here assumes fixed-width embeddings, and a silent
+    * partial-prefix dot is a wrong neighbor, not an error. */
   private def resolveParams(embeddings: DataFrame, tables: Int, planes: Int): (Int, Int, Int) = {
-    val r = embeddings.agg(max(size(col("embedding"))), count(lit(1))).collect()(0)
+    val r = embeddings.agg(max(size(col("embedding"))),
+      min(size(col("embedding"))), count(lit(1))).collect()(0)
     val dims = r.getInt(0)
-    val p = if (planes > 0) planes else autoPlanes(r.getLong(1))
+    require(r.getInt(1) == dims,
+      s"embeddings must be fixed-width: saw sizes ${r.getInt(1)}..$dims")
+    val p = if (planes > 0) planes else autoPlanes(r.getLong(2))
     val t = if (tables > 0) tables else autoTables(p)
     (t, p, dims)
   }
@@ -108,12 +140,16 @@ object Similarity {
     * from the corpus size ([[autoPlanes]]/[[autoTables]]). */
   def lshSignatures(embeddings: DataFrame, tables: Int = 0, planes: Int = 0): DataFrame = {
     val (nt, np, dims) = resolveParams(embeddings, tables, planes)
+    lshSignaturesResolved(embeddings, nt, np, dims)
+  }
+
+  private def lshSignaturesResolved(embeddings: DataFrame, nt: Int, np: Int,
+      dims: Int): DataFrame =
     embeddings
       .select(col("vec_id"),
         posexplode(array((0 until nt).map(sigColumn(_, np, dims)): _*))
           .as(Seq("t", "sig")))
       .select(col("vec_id"), col("t").cast("long").as("t"), col("sig"))
-  }
 
   /** Drop (t, sig) buckets holding more than `cap` vectors — the
     * hot-bucket valve for sign-pattern LSH (e.g. the all-positive bucket
@@ -139,8 +175,8 @@ object Similarity {
   private def bucketPairs(embeddings: DataFrame, tables: Int, planes: Int,
       maxBucket: Option[Int], ordered: Boolean,
       aName: String, bName: String): DataFrame = {
-    val (nt, np, _) = resolveParams(embeddings, tables, planes)
-    val sigs = capBuckets(lshSignatures(embeddings, nt, np), maxBucket)
+    val (nt, np, dims) = resolveParams(embeddings, tables, planes)
+    val sigs = capBuckets(lshSignaturesResolved(embeddings, nt, np, dims), maxBucket)
     // positional per-vec signature vector, capped-away slots nulled; eager
     // checkpoint both computes the heavy literal-weights expression once
     // and keeps it out of the self-join's two optimizer branches
@@ -186,7 +222,7 @@ object Similarity {
     val ordered = candDf.getOrElse(annCandidates(embeddings, tables, planes, maxBucket))
     val candPairs = ordered
       .select(col("a").as("vec_id"), col("b").as("neighbor_id"))
-      .unionAll(ordered.select(col("b").as("vec_id"), col("a").as("neighbor_id")))
+      .union(ordered.select(col("b").as("vec_id"), col("a").as("neighbor_id")))
     val e = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm("embedding"))
     val w = Window.partitionBy(col("vec_id"))
@@ -243,14 +279,17 @@ object Similarity {
   def autoNlist(n: Long): Int =
     math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
 
-  private def resolveNlist(embeddings: DataFrame, nlist: Int): Int =
+  private def resolveNlist(embeddings: DataFrame, nlist: Int): Int = {
+    assertFixedWidth(embeddings)
     if (nlist > 0) nlist else autoNlist(embeddings.count())
+  }
 
   def ivfProbes(embeddings: DataFrame, nlist: Int = 0, nprobe: Int = 4): DataFrame = {
     val nl = resolveNlist(embeddings, nlist)
     val cents = embeddings.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(nl).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toIndexedSeq
     ivfProbesWith(embeddings, cents, nprobe)
   }
 
