@@ -195,7 +195,8 @@ object Bench {
     // training-data ops (documents/embeddings tables at the same sf;
     // brute kNN is the quadratic baseline the bucketed paths beat)
     val opsHeadline = Seq("q_dedup_exact", "q_lsh_pairs", "q_ngram_jaccard",
-      "q_simhash", "q_knn_brute", "q_ann_topk", "q_ivf_topk", "q_embed_neardup")
+      "q_simhash", "q_simhash_neardup", "q_neardup_clusters", "q_decontam",
+      "q_keep_set", "q_knn_brute", "q_ann_topk", "q_ivf_topk", "q_embed_neardup")
     def timeQueries(s: SparkSession, names: Seq[String]): Map[String, Double] =
       names.map { name =>
         val fn = SparkEntry.queries(name)
