@@ -136,6 +136,26 @@ object TextDedup {
       .select(col("doc_id"), col("simhash"))
   }
 
+  /** Per-row SimHash as ONE column expression over a text column —
+    * bit-identical to [[simhash]] (the per-bit counters are integer sums,
+    * which are order-independent, so the single-row fold and the batch
+    * wide-agg agree exactly). One pass over the words: a 32-counter array
+    * accumulator, then the fingerprint fold. Used by the streaming path
+    * where each document arrives as a single row; the batch operator
+    * keeps the wide-agg shape (map-side partial aggregation). */
+  def simhashColumn(textCol: String = "text"): org.apache.spark.sql.Column = {
+    val hs = s"transform(filter(split($textCol, ' '), w -> w <> ''), " +
+      "w -> cast(conv(substring(md5(w), 1, 8), 16, 10) AS bigint))"
+    val counters =
+      s"""aggregate($hs, array_repeat(0, 32),
+         |  (acc, h) -> zip_with(acc, sequence(0, 31),
+         |    (a, b) -> a + IF(((h >> b) & 1) = 1, 1, -1)))""".stripMargin
+    expr(
+      s"""aggregate(zip_with($counters, sequence(0, 31),
+         |  (s, b) -> IF(s > 0, shiftleft(1L, cast(b AS int)), 0L)),
+         |  0L, (acc, v) -> acc + v)""".stripMargin)
+  }
+
   /** SimHash near-duplicate pairs: (a, b, hamming) with a < b and
     * hamming(simhash_a, simhash_b) <= `maxHamming`. Candidates share one
     * of four exact 8-bit bands of the 32-bit fingerprint — by pigeonhole,

@@ -27,6 +27,8 @@ object StreamingNearDup {
   final case class DupOut(doc_id: Long, dup_of: Long, band: Int, bucket_key: String)
   final case class EmbBucketRow(vec_id: Long, t: Int, sig: Long, ts: Timestamp)
   final case class EmbDupOut(vec_id: Long, dup_of: Long, t: Int, sig: Long)
+  final case class ShBucketRow(doc_id: Long, band: Int, chunk: Long, ts: Timestamp)
+  final case class ShDupOut(doc_id: Long, dup_of: Long, band: Int, chunk: Long)
 
   private def h32sql(e: String) =
     s"cast(conv(substring(md5($e), 1, 8), 16, 10) as bigint)"
@@ -88,6 +90,63 @@ object StreamingNearDup {
                 case Some(f) =>
                   if (f.founder != r.doc_id)
                     out += DupOut(r.doc_id, f.founder, key._1, key._2)
+                  st = Some(f.copy(maxTs = math.max(f.maxTs, r.ts.getTime)))
+              }
+            }
+            st.foreach { f =>
+              state.update(f)
+              state.setTimeoutTimestamp(f.maxTs + horizonMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Stateless per-row SimHash band buckets over a document stream:
+    * (doc_id, band, chunk, ts) — the four 8-bit bands of the 32-bit
+    * fingerprint ([[graft.ops.TextDedup.simhashNearDups]]'s candidate
+    * keys), computed per row via the shared
+    * [[graft.ops.TextDedup.simhashColumn]] expression (bit-identical to
+    * the batch wide-agg: integer bit-sums are order-independent). Docs
+    * with no words produce no buckets, as in batch. */
+  def simhashBuckets(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(filter(split(col("text"), " "), w => w =!= "")) > 0)
+      .select(col("doc_id"), col("ts"),
+        graft.ops.TextDedup.simhashColumn("text").as("simhash"))
+      .select(col("doc_id"), col("ts"), col("simhash"),
+        posexplode(array((0 until 4).map(i =>
+          expr(s"(simhash >> ${8 * i}) & 255")): _*)).as(Seq("band", "chunk")))
+      .select(col("doc_id"), col("band"), col("chunk"), col("ts"))
+
+  /** Streaming SimHash near-dup candidates: (doc_id, dup_of, band, chunk)
+    * — the continuous analogue of the lossless hamming-join candidate
+    * stage (the bit_count verify runs downstream where both fingerprints
+    * are at hand). Founder-per-bucket state, event-time eviction — same
+    * bounded-memory shape as the MinHash and embedding paths. */
+  def simhashNearDups(docs: DataFrame, latenessMinutes: Int = 10): Dataset[ShDupOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val horizonMs = latenessMinutes * 60 * 1000L
+    simhashBuckets(docs)
+      .withWatermark("ts", s"$latenessMinutes minutes")
+      .as[ShBucketRow]
+      .groupByKey(r => (r.band, r.chunk))
+      .flatMapGroupsWithState[FounderState, ShDupOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[FounderState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            var st = state.getOption
+            val out = Seq.newBuilder[ShDupOut]
+            sorted.foreach { r =>
+              st match {
+                case None =>
+                  st = Some(FounderState(r.doc_id, r.ts.getTime))
+                case Some(f) =>
+                  if (f.founder != r.doc_id)
+                    out += ShDupOut(r.doc_id, f.founder, key._1, key._2)
                   st = Some(f.copy(maxTs = math.max(f.maxTs, r.ts.getTime)))
               }
             }

@@ -200,6 +200,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming simhash near-dup: per-row fingerprint bit-equal batch; founders flag later dups") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1735689600000L
+    def ts(min: Int) = new Timestamp(t0 + min * 60000L)
+    // 1) the per-row simhash expression is BIT-EQUAL to the batch wide-agg
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100).localCheckpoint()
+    val perRow = docsDf
+      .select($"doc_id", graft.ops.TextDedup.simhashColumn("text").as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.ops.TextDedup.simhash(docsDf)
+      .as[(Long, Long)].collect().toMap
+    assert(perRow === batch)
+
+    // 2) founder tracking: an identical doc arriving later is flagged
+    // against the founder in all four bands
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingNearDup.simhashNearDups(
+      in.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("sh_neardup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, "the quick brown fox jumps over the lazy dog", ts(0)))
+      q.processAllAvailable()
+      in.addData(
+        (2L, "the quick brown fox jumps over the lazy dog", ts(1)),
+        (3L, "entirely unrelated content about database engines", ts(1)))
+      q.processAllAvailable()
+      val dups = spark.table("sh_neardup_out")
+        .select($"doc_id", $"dup_of").as[(Long, Long)].collect()
+      assert(dups.toSet === Set((2L, 1L)), s"got ${dups.toSeq}")
+      assert(dups.length === 4, "identical docs collide in all four bands")
+    } finally q.stop()
+  }
+
   test("stateless text-analysis ops run unchanged on a stream, batch-equal") {
     val spark2 = spark
     import spark2.implicits._
