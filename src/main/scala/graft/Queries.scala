@@ -179,6 +179,26 @@ object Queries {
         TextDedup.ctes, TextAnalysis.ctes, graft.ops.Curation.ctes))
     ),
 
+    // The streaming curation SIGNAL path, oracle-checked in batch: the
+    // stateless per-row projection StreamingCuration runs on a document
+    // stream (lang + quality + repetition + broadcast-set contamination
+    // probe) is batch-runnable, so the exact code the stream executes is
+    // pinned against the joined batch CTEs every round.
+    "q_stream_signals" -> (
+      ((s: SparkSession, dir: String) => graft.streaming.StreamingCuration.signals(
+        documents(s, dir),
+        documents(s, dir).filter(col("doc_id") % 97 === 0))),
+      Some(rawCtes(
+        """SELECT l.doc_id, l.lang_pred, q.quality, r.top_word_ratio,
+          |       r.dup_3gram_ratio, c.shingle_cnt, c.contaminated_cnt,
+          |       c.contamination, c.is_contaminated
+          |FROM lang_id l
+          |JOIN quality q USING (doc_id)
+          |JOIN repetition r USING (doc_id)
+          |JOIN decontam c USING (doc_id)""".stripMargin,
+        TextDedup.ctes, TextAnalysis.ctes))
+    ),
+
     // Benchmark decontamination: per-doc shared-shingle count against a
     // deterministic in-corpus benchmark subset (doc_id % 97 == 0).
     "q_decontam" -> (

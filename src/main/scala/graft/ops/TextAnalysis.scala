@@ -22,43 +22,64 @@ object TextAnalysis {
     expr(s"size(filter(words, w -> w in $lst)) / cast(greatest(size(words), 1) as double)")
   }
 
+  /** Adds EVERY per-row text signal as columns (lang ratios + lang_pred,
+    * quality features + composite, repetition ratios, the distinct 3-gram
+    * shingle array `g3d`) to a frame with a `text` column, keeping the
+    * input columns. One shared builder so the batch operators below and
+    * the streaming curation path ([[graft.streaming.StreamingCuration]])
+    * evaluate the SAME expressions and cannot diverge — all pure row-local
+    * projections, so the plan is still a single codegen'd scan whichever
+    * subset a caller selects. */
+  private[graft] def withSignalCols(df: DataFrame): DataFrame = df
+    .withColumn("words", split(col("text"), " "))
+    .withColumn("r_en", round(ratioFor("en"), 6))
+    .withColumn("r_de", round(ratioFor("de"), 6))
+    .withColumn("r_fr", round(ratioFor("fr"), 6))
+    .withColumn("r_es", round(ratioFor("es"), 6))
+    .withColumn("best",
+      greatest(col("r_en"), col("r_de"), col("r_fr"), col("r_es")))
+    .withColumn("lang_pred",
+      when(col("best") <= 0, "und")
+        .when(col("r_en") === col("best"), "en")
+        .when(col("r_de") === col("best"), "de")
+        .when(col("r_fr") === col("best"), "fr")
+        .otherwise("es"))
+    .withColumn("n_words", size(col("words")).cast("long"))
+    .withColumn("mean_word_len",
+      round(expr("aggregate(words, 0L, (a, w) -> a + length(w)) / cast(greatest(size(words), 1) as double)"), 6))
+    .withColumn("punct_ratio",
+      round((length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+        / length(col("text")).cast("double"), 6))
+    .withColumn("stop_ratio", round(ratioFor("en"), 6))
+    .withColumn("quality", round(
+      least(col("n_words") / lit(50.0), lit(1.0)) * 0.4
+        + (lit(1.0) - col("punct_ratio")) * 0.3
+        + least(col("mean_word_len") / lit(8.0), lit(1.0)) * 0.3, 6))
+    .withColumn("top_word_ratio", round(expr(
+      """array_max(transform(array_distinct(words),
+        |  d -> size(filter(words, x -> x = d)))) / cast(size(words) as double)""".stripMargin), 6))
+    .withColumn("g3", expr(
+      """CASE WHEN size(words) >= 3
+        |     THEN transform(sequence(1, size(words) - 2),
+        |                    i -> concat_ws(' ', words[i-1], words[i], words[i+1]))
+        |     ELSE array() END""".stripMargin))
+    .withColumn("dup_3gram_ratio", round(expr(
+      """CASE WHEN size(g3) > 0
+        |     THEN (size(g3) - size(array_distinct(g3))) / cast(size(g3) as double)
+        |     ELSE 0.0D END""".stripMargin), 6))
+    .withColumn("g3d", array_distinct(col("g3")))
+
   /** (doc_id, lang, en/de/fr/es ratios, lang_pred). Ties and all-zero
     * scores resolve to 'und'. */
-  def langId(documents: DataFrame): DataFrame = {
-    val base = documents
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
-      .withColumn("r_en", round(ratioFor("en"), 6))
-      .withColumn("r_de", round(ratioFor("de"), 6))
-      .withColumn("r_fr", round(ratioFor("fr"), 6))
-      .withColumn("r_es", round(ratioFor("es"), 6))
-    base.withColumn("best",
-      greatest(col("r_en"), col("r_de"), col("r_fr"), col("r_es")))
-      .withColumn("lang_pred",
-        when(col("best") <= 0, "und")
-          .when(col("r_en") === col("best"), "en")
-          .when(col("r_de") === col("best"), "de")
-          .when(col("r_fr") === col("best"), "fr")
-          .otherwise("es"))
+  def langId(documents: DataFrame): DataFrame =
+    withSignalCols(documents.select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("lang"), col("r_en"), col("r_de"),
         col("r_fr"), col("r_es"), col("lang_pred"))
-  }
 
   /** Quality features + composite score:
     * (doc_id, n_words, mean_word_len, punct_ratio, stop_ratio, quality). */
   def qualityScore(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
-      .withColumn("n_words", size(col("words")).cast("long"))
-      .withColumn("mean_word_len",
-        round(expr("aggregate(words, 0L, (a, w) -> a + length(w)) / cast(greatest(size(words), 1) as double)"), 6))
-      .withColumn("punct_ratio",
-        round((length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
-          / length(col("text")).cast("double"), 6))
-      .withColumn("stop_ratio", round(ratioFor("en"), 6))
-      .withColumn("quality", round(
-        least(col("n_words") / lit(50.0), lit(1.0)) * 0.4
-          + (lit(1.0) - col("punct_ratio")) * 0.3
-          + least(col("mean_word_len") / lit(8.0), lit(1.0)) * 0.3, 6))
+    withSignalCols(documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("punct_ratio"), col("stop_ratio"), col("quality"))
 
@@ -85,20 +106,7 @@ object TextAnalysis {
     * — the standard boilerplate/loop filters of pretraining pipelines.
     * Pure higher-order column expressions, one scan. */
   def repetition(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("top_word_ratio", round(expr(
-        """array_max(transform(array_distinct(w),
-          |  d -> size(filter(w, x -> x = d)))) / cast(size(w) as double)""".stripMargin), 6))
-      .withColumn("g", expr(
-        """CASE WHEN size(w) >= 3
-          |     THEN transform(sequence(1, size(w) - 2),
-          |                    i -> concat_ws(' ', w[i-1], w[i], w[i+1]))
-          |     ELSE array() END""".stripMargin))
-      .withColumn("dup_3gram_ratio", round(expr(
-        """CASE WHEN size(g) > 0
-          |     THEN (size(g) - size(array_distinct(g))) / cast(size(g) as double)
-          |     ELSE 0.0D END""".stripMargin), 6))
+    withSignalCols(documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("top_word_ratio"), col("dup_3gram_ratio"))
 
   /** PII patterns — restricted to syntax with identical semantics in Java

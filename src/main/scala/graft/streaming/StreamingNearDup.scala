@@ -30,8 +30,25 @@ object StreamingNearDup {
   final case class ShBucketRow(doc_id: Long, band: Int, chunk: Long, ts: Timestamp)
   final case class ShDupOut(doc_id: Long, dup_of: Long, band: Int, chunk: Long)
 
-  private def h32sql(e: String) =
+  private[streaming] def h32sql(e: String) =
     s"cast(conv(substring(md5($e), 1, 8), 16, 10) as bigint)"
+
+  /** MinHash signature columns m0..m{n-1} over a distinct-shingle array
+    * column named `sh` — the batch hash family verbatim; shared with
+    * [[StreamingCuration]]. */
+  private[streaming] def minhashSigCols(nHashes: Int): Seq[org.apache.spark.sql.Column] =
+    (0 until nHashes).map { j =>
+      expr(s"array_min(transform(sh, s -> ${h32sql(s"concat(s, ':$j')")}))").as(s"m$j")
+    }
+
+  /** Band bucket structs (band, bucket_key) over columns m0..m{n-1}. */
+  private[streaming] def bandStructCols(nHashes: Int,
+      rowsPerBand: Int): Seq[org.apache.spark.sql.Column] =
+    (0 until nHashes / rowsPerBand).map { b =>
+      val ks = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => col(s"m$j").cast("string"))
+      struct(lit(b).as("band"), concat_ws(",", ks: _*).as("bucket_key"))
+    }
 
   /** Stateless per-row band buckets, schema (doc_id, band, bucket_key, ts).
     * Matches the batch bucket keys exactly: minhash_j = min over distinct
@@ -39,14 +56,8 @@ object StreamingNearDup {
     * band's minhashes joined "," in j order. Docs with no 3-gram (under
     * 3 words) produce no buckets, as in batch. */
   def bandBuckets(docs: DataFrame, nHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sigs = (0 until nHashes).map { j =>
-      expr(s"array_min(transform(sh, s -> ${h32sql(s"concat(s, ':$j')")}))").as(s"m$j")
-    }
-    val bands = (0 until nHashes / rowsPerBand).map { b =>
-      val ks = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(j => col(s"m$j").cast("string"))
-      struct(lit(b).as("band"), concat_ws(",", ks: _*).as("bucket_key"))
-    }
+    val sigs = minhashSigCols(nHashes)
+    val bands = bandStructCols(nHashes, rowsPerBand)
     docs
       .withColumn("w", split(col("text"), " "))
       .withColumn("sh", expr(
