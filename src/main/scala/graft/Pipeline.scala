@@ -76,6 +76,11 @@ object Pipeline {
     * the 100-TB-safe plan; omit it for exact reference semantics. */
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
+    // fail fast on unknown flags: a typo of --preset must not silently run
+    // the job with every scale valve off
+    val unknown = args.filter(_.startsWith("--")).filterNot(_ == "--preset")
+    require(unknown.isEmpty,
+      s"unknown flag(s): ${unknown.mkString(", ")} (supported: --preset)")
     val cfg = Config(pos(0), pos(1),
       if (pos.length > 2) pos(2) else "greedy",
       if (pos.length > 3) pos(3) else "soundex",

@@ -34,32 +34,43 @@ object GraftFunctions {
     * cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)`
     * (the interpreted HOF chain it replaces on the ANN verify hot path:
     * HOF lambdas don't participate in whole-stage codegen and box every
-    * element). */
-  def dotF(a: ArrayData, b: ArrayData): Double = {
-    val xs = a.toFloatArray(); val ys = b.toFloatArray()
-    val n = math.min(xs.length, ys.length)
+    * element). A NULL element yields a NULL result, like the HOF chain —
+    * one corrupt embedding row must degrade to an ignored row, not kill
+    * the job with an executor exception. */
+  def dotF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0; var i = 0
-    while (i < n) { acc += xs(i).toDouble * ys(i).toDouble; i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+    }
     acc
   }
 
   /** Dot of a float array against a double array (inlined IVF centroid),
-    * same accumulation order as the HOF chain it replaces. */
-  def dotFD(a: ArrayData, b: ArrayData): Double = {
-    val xs = a.toFloatArray(); val ys = b.toDoubleArray()
-    val n = math.min(xs.length, ys.length)
+    * same accumulation order and NULL-element semantics as the HOF chain
+    * it replaces. */
+  def dotFD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0; var i = 0
-    while (i < n) { acc += xs(i).toDouble * ys(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1
+    }
     acc
   }
 
   /** L2 norm of a float array, squares summed in index order — matches
     * `sqrt(aggregate(transform(a, x -> cast(x as double) * cast(x as
-    * double)), 0D, (acc, v) -> acc + v))`. */
-  def normF(a: ArrayData): Double = {
-    val xs = a.toFloatArray()
+    * double)), 0D, (acc, v) -> acc + v))` including NULL-element
+    * propagation. */
+  def normF(a: ArrayData): java.lang.Double = {
+    val n = a.numElements()
     var acc = 0.0; var i = 0
-    while (i < xs.length) { acc += xs(i).toDouble * xs(i).toDouble; i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * a.getFloat(i).toDouble; i += 1
+    }
     math.sqrt(acc)
   }
 
@@ -90,10 +101,17 @@ case class DotFExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  // nullable even on non-null array columns: a NULL ELEMENT nulls the result
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
     GraftFunctions.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftFunctions.dotF($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotRes")
+      s"""java.lang.Double $r = graft.functions.GraftFunctions.dotF($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+         |""".stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -102,10 +120,16 @@ case class DotFDExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(ArrayType(FloatType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
     GraftFunctions.dotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftFunctions.dotFD($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotRes")
+      s"""java.lang.Double $r = graft.functions.GraftFunctions.dotFD($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+         |""".stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -114,10 +138,16 @@ case class NormFExpr(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any): Any =
     GraftFunctions.normF(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.GraftFunctions.normF($a)")
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("normRes")
+      s"""java.lang.Double $r = graft.functions.GraftFunctions.normF($a);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+         |""".stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

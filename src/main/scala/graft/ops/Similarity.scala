@@ -280,8 +280,13 @@ object Similarity {
     math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
 
   private def resolveNlist(embeddings: DataFrame, nlist: Int): Int = {
-    assertFixedWidth(embeddings)
-    if (nlist > 0) nlist else autoNlist(embeddings.count())
+    // one combined aggregate action (width check + count) — not a separate
+    // assertFixedWidth + count(), which would scan the corpus twice
+    val r = embeddings.agg(min(size(col("embedding"))),
+      max(size(col("embedding"))), count(lit(1))).collect()(0)
+    require(r.getInt(0) == r.getInt(1),
+      s"embeddings must be fixed-width: saw sizes ${r.getInt(0)}..${r.getInt(1)}")
+    if (nlist > 0) nlist else autoNlist(r.getLong(2))
   }
 
   def ivfProbes(embeddings: DataFrame, nlist: Int = 0, nprobe: Int = 4): DataFrame = {
@@ -392,8 +397,8 @@ object Similarity {
       |),
       |ann_params AS (
       |  SELECT planes,
-      |         cast(ceil(12.0 * power(1.0 / 0.63, planes - 5)) AS INT) AS tables
-      |  FROM (SELECT greatest(4, cast(ceil(log2(count(*))) AS INT) - 4) AS planes
+      |         least(64, cast(ceil(12.0 * power(1.0 / 0.63, planes - 5)) AS INT)) AS tables
+      |  FROM (SELECT least(16, greatest(4, cast(ceil(log2(count(*))) AS INT) - 4)) AS planes
       |        FROM embeddings)
       |),
       |plane_weights AS (

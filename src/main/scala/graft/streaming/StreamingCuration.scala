@@ -104,10 +104,13 @@ object StreamingCuration {
     * watermark filter has already admitted. The residual caveat is the
     * standard one for any append-mode chain: a document arriving at the
     * very edge of the lateness horizon can find its verdict window already
-    * closed and get no verdict row. This method therefore disables
-    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled` on
-    * the session (a static pattern check — no plan or state behavior
-    * changes) and documents the reasoning here. */
+    * closed and get no verdict row. The
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`
+    * override (a static pattern check — no plan or state behavior changes)
+    * is therefore scoped to a CHILD session (same SparkContext, isolated
+    * SQLConf) that the returned frame stays bound to: starting the query
+    * picks up the child's conf, while the CALLER's session keeps Spark's
+    * default guard for its own queries. */
   def keepSet(docs: DataFrame, benchmark: DataFrame,
       minQuality: Double = 0.5,
       maxTopWordRatio: Double = 0.2,
@@ -115,12 +118,17 @@ object StreamingCuration {
       keepLang: String = "en",
       minOverlap: Int = 1,
       latenessMinutes: Int = 10): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // see the Scaladoc NOTE: structural multi-stateful check, pattern
-    // proven safe for this query's immediate-emission state function
-    spark.conf.set(
+    // scope the structural-check override to a child session (Scaladoc
+    // NOTE); the input plan crosses sessions via a global temp view,
+    // dropped again once the chain is built (Datasets analyze eagerly)
+    val parent = docs.sparkSession
+    val child = parent.newSession()
+    child.conf.set(
       "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val vn = s"graft_curation_in_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    docs.createOrReplaceGlobalTempView(vn)
+    val childDocs = child.table(s"global_temp.$vn")
+    import child.implicits._
     val horizonMs = latenessMinutes * 60 * 1000L
     val lateness = s"$latenessMinutes minutes"
 
@@ -129,11 +137,20 @@ object StreamingCuration {
     // band keys (only for docs with >= 1 shingle, as in batch).
     val sigCols = StreamingNearDup.minhashSigCols(8)
     val bandArr = array(StreamingNearDup.bandStructCols(8, 2): _*)
+    // unscorable signals coalesce to the SAME defaults the batch verdict
+    // uses (an all-punctuation/empty doc has NULL quality etc.; a typed
+    // non-nullable Double field would otherwise poison-pill the stream)
+    val coalesced = Seq(
+      coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
+      coalesce(col("quality"), lit(0.0)).as("quality"),
+      coalesce(col("top_word_ratio"), lit(1.0)).as("top_word_ratio"),
+      coalesce(col("dup_3gram_ratio"), lit(1.0)).as("dup_3gram_ratio"),
+      col("is_contaminated"))
     val signalCols = Seq(col("lang_pred"), col("quality"),
       col("top_word_ratio"), col("dup_3gram_ratio"), col("is_contaminated"))
-    val bucketed = withSignals(docs, benchmark, minOverlap)
+    val bucketed = withSignals(childDocs, benchmark, minOverlap)
       .select(Seq(col("doc_id"), col("ts"), col("text"), col("sh"))
-        ++ signalCols: _*)
+        ++ coalesced: _*)
       .select(Seq(col("doc_id"), col("ts"), col("text"), col("sh"))
         ++ signalCols ++ sigCols: _*)
       .withColumn("bb", explode(concat(
@@ -149,32 +166,14 @@ object StreamingCuration {
       .flatMapGroupsWithState[FounderState, VerdictPiece](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, rows, state) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
-            var st = state.getOption
-            val out = Seq.newBuilder[VerdictPiece]
-            sorted.foreach { r =>
-              val dup = st match {
-                case None =>
-                  st = Some(FounderState(r.doc_id, r.ts.getTime)); false
-                case Some(f) =>
-                  st = Some(f.copy(maxTs = math.max(f.maxTs, r.ts.getTime)))
-                  f.founder != r.doc_id
-              }
-              out += VerdictPiece(r.doc_id, r.ts, key._1, dup, r.lang_pred,
-                r.quality, r.top_word_ratio, r.dup_3gram_ratio,
-                r.is_contaminated)
-            }
-            st.foreach { f =>
-              state.update(f)
-              state.setTimeoutTimestamp(f.maxTs + horizonMs)
-            }
-            out.result().iterator
-          }
+          StreamingNearDup.founderFold[BucketSig, VerdictPiece](
+            horizonMs, _.doc_id, _.ts,
+            (r, _, dup) => Iterator(VerdictPiece(r.doc_id, r.ts, key._1, dup,
+              r.lang_pred, r.quality, r.top_word_ratio, r.dup_3gram_ratio,
+              r.is_contaminated)))(rows, state)
       }
 
-    pieces.toDF()
+    val verdicts = pieces.toDF()
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), "1 minute"), col("doc_id"))
       .agg(
@@ -197,5 +196,7 @@ object StreamingCuration {
           .otherwise("kept"))
       .select(col("doc_id"), (col("reason") === "kept").as("keep"),
         col("reason"))
+    parent.catalog.dropGlobalTempView(vn)
+    verdicts
   }
 }

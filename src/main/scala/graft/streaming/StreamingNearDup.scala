@@ -33,6 +33,41 @@ object StreamingNearDup {
   private[streaming] def h32sql(e: String) =
     s"cast(conv(substring(md5($e), 1, 8), 16, 10) as bigint)"
 
+  /** THE founder-per-bucket state fold, shared by every streaming dedup
+    * path (MinHash / SimHash / embedding near-dups and the curation
+    * verdict): rows of one bucket group arrive per micro-batch, are
+    * ordered deterministically by (event time, id), the first-ever row
+    * founds the bucket, and `emit(row, founder, isDup)` shapes the output
+    * (dup rows only for the near-dup paths; a verdict piece per row for
+    * curation). State is one (founder, maxTs) pair per live bucket,
+    * reaped by event-time timeout `horizonMs` past the bucket's newest
+    * row — bounded by distinct buckets inside the watermark horizon. */
+  private[streaming] def founderFold[R, O](horizonMs: Long, idOf: R => Long,
+      tsOf: R => Timestamp, emit: (R, Long, Boolean) => Iterator[O])(
+      rows: Iterator[R], state: GroupState[FounderState]): Iterator[O] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val sorted = rows.toSeq.sortBy(r => (tsOf(r).getTime, idOf(r)))
+      var st = state.getOption
+      val out = Seq.newBuilder[O]
+      sorted.foreach { r =>
+        st match {
+          case None =>
+            st = Some(FounderState(idOf(r), tsOf(r).getTime))
+            out ++= emit(r, idOf(r), false)
+          case Some(f) =>
+            st = Some(f.copy(maxTs = math.max(f.maxTs, tsOf(r).getTime)))
+            out ++= emit(r, f.founder, f.founder != idOf(r))
+        }
+      }
+      st.foreach { f =>
+        state.update(f)
+        state.setTimeoutTimestamp(f.maxTs + horizonMs)
+      }
+      out.result().iterator
+    }
+  }
+
   /** MinHash signature columns m0..m{n-1} over a distinct-shingle array
     * column named `sh` — the batch hash family verbatim; shared with
     * [[StreamingCuration]]. */
@@ -89,27 +124,10 @@ object StreamingNearDup {
       .flatMapGroupsWithState[FounderState, DupOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, rows, state: GroupState[FounderState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
-            var st = state.getOption
-            val out = Seq.newBuilder[DupOut]
-            sorted.foreach { r =>
-              st match {
-                case None =>
-                  st = Some(FounderState(r.doc_id, r.ts.getTime))
-                case Some(f) =>
-                  if (f.founder != r.doc_id)
-                    out += DupOut(r.doc_id, f.founder, key._1, key._2)
-                  st = Some(f.copy(maxTs = math.max(f.maxTs, r.ts.getTime)))
-              }
-            }
-            st.foreach { f =>
-              state.update(f)
-              state.setTimeoutTimestamp(f.maxTs + horizonMs)
-            }
-            out.result().iterator
-          }
+          founderFold[BucketRow, DupOut](horizonMs, _.doc_id, _.ts,
+            (r, founder, dup) =>
+              if (dup) Iterator(DupOut(r.doc_id, founder, key._1, key._2))
+              else Iterator.empty)(rows, state)
       }
   }
 
@@ -146,27 +164,10 @@ object StreamingNearDup {
       .flatMapGroupsWithState[FounderState, ShDupOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, rows, state: GroupState[FounderState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
-            var st = state.getOption
-            val out = Seq.newBuilder[ShDupOut]
-            sorted.foreach { r =>
-              st match {
-                case None =>
-                  st = Some(FounderState(r.doc_id, r.ts.getTime))
-                case Some(f) =>
-                  if (f.founder != r.doc_id)
-                    out += ShDupOut(r.doc_id, f.founder, key._1, key._2)
-                  st = Some(f.copy(maxTs = math.max(f.maxTs, r.ts.getTime)))
-              }
-            }
-            st.foreach { f =>
-              state.update(f)
-              state.setTimeoutTimestamp(f.maxTs + horizonMs)
-            }
-            out.result().iterator
-          }
+          founderFold[ShBucketRow, ShDupOut](horizonMs, _.doc_id, _.ts,
+            (r, founder, dup) =>
+              if (dup) Iterator(ShDupOut(r.doc_id, founder, key._1, key._2))
+              else Iterator.empty)(rows, state)
       }
   }
 
@@ -203,27 +204,10 @@ object StreamingNearDup {
       .flatMapGroupsWithState[FounderState, EmbDupOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, rows, state: GroupState[FounderState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.vec_id))
-            var st = state.getOption
-            val out = Seq.newBuilder[EmbDupOut]
-            sorted.foreach { r =>
-              st match {
-                case None =>
-                  st = Some(FounderState(r.vec_id, r.ts.getTime))
-                case Some(f) =>
-                  if (f.founder != r.vec_id)
-                    out += EmbDupOut(r.vec_id, f.founder, key._1, key._2)
-                  st = Some(f.copy(maxTs = math.max(f.maxTs, r.ts.getTime)))
-              }
-            }
-            st.foreach { f =>
-              state.update(f)
-              state.setTimeoutTimestamp(f.maxTs + horizonMs)
-            }
-            out.result().iterator
-          }
+          founderFold[EmbBucketRow, EmbDupOut](horizonMs, _.vec_id, _.ts,
+            (r, founder, dup) =>
+              if (dup) Iterator(EmbDupOut(r.vec_id, founder, key._1, key._2))
+              else Iterator.empty)(rows, state)
       }
   }
 }

@@ -62,8 +62,9 @@ class StreamingCurationSpec extends SparkSpec {
     val benchDf = Seq((100L, bench)).toDF("doc_id", "text")
 
     val in = MemoryStream[(Long, String, Timestamp)]
-    val q = StreamingCuration.keepSet(
+    val verdicts = StreamingCuration.keepSet(
       in.toDF().toDF("doc_id", "text", "ts"), benchDf)
+    val q = verdicts
       .writeStream.format("memory").queryName("curation_out")
       .outputMode(OutputMode.Append).start()
     try {
@@ -80,7 +81,9 @@ class StreamingCurationSpec extends SparkSpec {
       // advance the watermark past the docs' windows so append emits
       in.addData((99L, "late watermark flush doc", ts(40)))
       q.processAllAvailable()
-      val out = spark.table("curation_out")
+      // the memory sink registers in the session the verdict frame is bound
+      // to (keepSet scopes its conf override to a child session)
+      val out = verdicts.sparkSession.table("curation_out")
         .select($"doc_id", $"keep", $"reason")
         .as[(Long, Boolean, String)].collect().map(r => r._1 -> r).toMap
       assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
