@@ -34,11 +34,13 @@ object GraftFunctions {
     * cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)`
     * (the interpreted HOF chain it replaces on the ANN verify hot path:
     * HOF lambdas don't participate in whole-stage codegen and box every
-    * element). A NULL element yields a NULL result, like the HOF chain —
-    * one corrupt embedding row must degrade to an ignored row, not kill
-    * the job with an executor exception. */
+    * element). A NULL element — or a length mismatch, which zip_with pads
+    * with NULLs — yields a NULL result, like the HOF chain: one corrupt or
+    * truncated embedding row must degrade to an ignored row, not kill the
+    * job with an executor exception or fold into a plausible wrong value. */
   def dotF(a: ArrayData, b: ArrayData): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0; var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
@@ -48,10 +50,11 @@ object GraftFunctions {
   }
 
   /** Dot of a float array against a double array (inlined IVF centroid),
-    * same accumulation order and NULL-element semantics as the HOF chain
-    * it replaces. */
+    * same accumulation order and NULL-element / length-mismatch semantics
+    * as the HOF chain it replaces. */
   def dotFD(a: ArrayData, b: ArrayData): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0; var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
