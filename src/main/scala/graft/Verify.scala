@@ -8,6 +8,8 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(a, b)    => (a, b, None)
       case Array(a, b, r) => (a, b, Some(r.r)) // optional name regex for focused runs
+      case _ => sys.error(
+        "usage: graft.Verify <sfDir> <outDir> [queryNameRegex]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, UnaryExpression, Expression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, UnaryExpression, Expression, ExpectsInputTypes, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
@@ -100,8 +100,12 @@ object GraftFunctions {
   }
 }
 
+// ImplicitCastInputTypes (not bare ExpectsInputTypes) on the array
+// kernels: the HOF chains they replaced cast elements inline, so an
+// array<double>-typed corpus must keep resolving (the analyzer injects
+// the element cast) instead of failing with a type mismatch
 case class DotFExpr(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   // nullable even on non-null array columns: a NULL ELEMENT nulls the result
@@ -120,7 +124,7 @@ case class DotFExpr(left: Expression, right: Expression)
 }
 
 case class DotFDExpr(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(ArrayType(FloatType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -138,7 +142,7 @@ case class DotFDExpr(left: Expression, right: Expression)
 }
 
 case class NormFExpr(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

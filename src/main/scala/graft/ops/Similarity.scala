@@ -30,6 +30,7 @@ object Similarity {
   private def assertFixedWidth(embeddings: DataFrame): Unit = {
     val r = embeddings.agg(min(size(col("embedding"))),
       max(size(col("embedding")))).collect()(0)
+    if (r.isNullAt(0)) return // empty corpus: downstream result is empty
     require(r.getInt(0) == r.getInt(1),
       s"embeddings must be fixed-width: saw sizes ${r.getInt(0)}..${r.getInt(1)}")
   }
@@ -126,10 +127,13 @@ object Similarity {
   private def resolveParams(embeddings: DataFrame, tables: Int, planes: Int): (Int, Int, Int) = {
     val r = embeddings.agg(max(size(col("embedding"))),
       min(size(col("embedding"))), count(lit(1))).collect()(0)
-    val dims = r.getInt(0)
-    require(r.getInt(1) == dims,
+    val n = r.getLong(2)
+    // empty corpus: min/max are NULL — any params yield an empty result,
+    // so skip the width check instead of NPE-ing on the NULL aggregate
+    val dims = if (n == 0) 0 else r.getInt(0)
+    if (n > 0) require(r.getInt(1) == dims,
       s"embeddings must be fixed-width: saw sizes ${r.getInt(1)}..$dims")
-    val p = if (planes > 0) planes else autoPlanes(r.getLong(2))
+    val p = if (planes > 0) planes else autoPlanes(n)
     val t = if (tables > 0) tables else autoTables(p)
     (t, p, dims)
   }
@@ -163,18 +167,19 @@ object Similarity {
     * touching healthy ones; the oracle mirrors it with a HAVING filter). */
   val defaultMaxBucket: Option[Int] = Some(200)
 
-  /** Candidate pairs from the multi-table index, each emitted EXACTLY ONCE
-    * — from the first (lowest-t) surviving shared bucket — instead of once
-    * per colliding table + a distinct(): the per-vec surviving (t, sig)
-    * entries ride along as a small array and a codegen'd exists() keeps a
-    * pair only at its minimal shared table, so the duplicate rows die
-    * before the verify shuffle rather than being re-keyed by distinct().
-    * `ordered` = true emits a < b once (dedup flavour); false emits both
-    * directions (top-k flavour). The emitted pair SET equals the
-    * distinct() formulation's (same shared-surviving-bucket relation). */
-  private def bucketPairs(embeddings: DataFrame, tables: Int, planes: Int,
-      maxBucket: Option[Int], ordered: Boolean,
-      aName: String, bName: String): DataFrame = {
+  /** The shared LSH candidate stage: unordered near-pairs (a < b), each
+    * emitted EXACTLY ONCE — from the first (lowest-t) surviving shared
+    * bucket — instead of once per colliding table + a distinct(): the
+    * per-vec surviving (t, sig) entries ride along as a small array and a
+    * codegen'd positional zip keeps a pair only at its minimal shared
+    * table, so the duplicate rows die before the verify shuffle rather
+    * than being re-keyed by distinct(). The emitted pair SET equals the
+    * distinct() formulation's (same shared-surviving-bucket relation).
+    * Inject via `candDf` into [[annTopK]] / [[embedNearDups]] (the
+    * Queries memoizer does) so the signature index is built once per
+    * process, like a pipelined run that checkpoints its index. */
+  def annCandidates(embeddings: DataFrame, tables: Int = 0, planes: Int = 0,
+      maxBucket: Option[Int] = defaultMaxBucket): DataFrame = {
     val (nt, np, dims) = resolveParams(embeddings, tables, planes)
     val sigs = capBuckets(lshSignaturesResolved(embeddings, nt, np, dims), maxBucket)
     // positional per-vec signature vector, capped-away slots nulled; eager
@@ -188,27 +193,16 @@ object Similarity {
     val exploded = arr
       .select(col("vec_id"), col("sa"), posexplode(col("sa")).as(Seq("t", "sig")))
       .filter(col("sig").isNotNull)
-    val pairFilter =
-      if (ordered) col("x.vec_id") < col("y.vec_id")
-      else col("x.vec_id") =!= col("y.vec_id")
     exploded.as("x")
       .join(exploded.as("y"), Seq("t", "sig"))
-      .filter(pairFilter)
+      .filter(col("x.vec_id") < col("y.vec_id"))
       // keep the pair only at its FIRST surviving shared table: one
       // positional zip, O(tables) per joined row (a nested exists over
       // (t, sig) entry lists is O(tables^2) interpreted struct compares)
       .filter(expr(
         "array_position(zip_with(x.sa, y.sa, (a, b) -> coalesce(a = b, false)), true) - 1 = t"))
-      .select(col("x.vec_id").as(aName), col("y.vec_id").as(bName))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
   }
-
-  /** The shared LSH candidate stage: unordered near-pairs (a < b), each
-    * emitted once. Inject via `candDf` into [[annTopK]] / [[embedNearDups]]
-    * (the Queries memoizer does) so the signature index is built once per
-    * process, like a pipelined run that checkpoints its index. */
-  def annCandidates(embeddings: DataFrame, tables: Int = 0, planes: Int = 0,
-      maxBucket: Option[Int] = defaultMaxBucket): DataFrame =
-    bucketPairs(embeddings, tables, planes, maxBucket, ordered = true, "a", "b")
 
   /** ANN top-k via multi-table LSH buckets: candidate pairs share a bucket
     * in ANY table; quadratic work confined to buckets (bounded ~16 expected
@@ -284,7 +278,7 @@ object Similarity {
     // assertFixedWidth + count(), which would scan the corpus twice
     val r = embeddings.agg(min(size(col("embedding"))),
       max(size(col("embedding"))), count(lit(1))).collect()(0)
-    require(r.getInt(0) == r.getInt(1),
+    if (r.getLong(2) > 0) require(r.getInt(0) == r.getInt(1),
       s"embeddings must be fixed-width: saw sizes ${r.getInt(0)}..${r.getInt(1)}")
     if (nlist > 0) nlist else autoNlist(r.getLong(2))
   }
@@ -298,11 +292,29 @@ object Similarity {
     ivfProbesWith(embeddings, cents, nprobe)
   }
 
+  /** Above this many centroids the literal-inlined probe projection would
+    * carry nlist x dims constants through planning — the same driver-side
+    * expression cliff the [[autoTables]] cap avoids (at sqrt(n) cells a
+    * 10^6-vector corpus already wants ~1000 centroids x 64 dims). Past the
+    * cap, [[ivfProbesWith]] switches to the SAME math over a BROADCAST
+    * centroid matrix in one mapPartitions pass: still shuffle-free and
+    * one-scan, just not whole-stage-codegen'd — the standard Spark shape
+    * for a per-row reduction against a large shared constant.
+    * [[OpsSpec]] pins both paths row-identical on the same centroid set. */
+  val inlineNlistCap = 256
+
   /** The probe projection over an explicit centroid set — shared by the
-    * deterministic (oracled) and the KMeans-trained index. */
-  private def ivfProbesWith(embeddings: DataFrame,
+    * deterministic (oracled) and the KMeans-trained index. Dispatches on
+    * centroid count (see [[inlineNlistCap]]); every oracled configuration
+    * resolves to the inlined codegen'd projection. */
+  private[ops] def ivfProbesWith(embeddings: DataFrame,
       centroids: Seq[(Long, Array[Double])], nprobe: Int): DataFrame = {
     reg(embeddings)
+    if (centroids.isEmpty) // empty corpus: keep schema, emit nothing
+      return embeddings.select(col("vec_id"), lit(0L).as("cell"),
+        lit(0d).as("cosine"), lit(0).as("probe_rank")).where(lit(false))
+    if (centroids.size > inlineNlistCap)
+      return ivfProbesBroadcast(embeddings, centroids, nprobe)
     val cents = centroids.map { case (id, v) =>
       val nrm = math.sqrt(v.foldLeft(0d)((acc, x) => acc + x * x))
       val arr = v.map(d => s"${java.lang.Double.toString(d)}D").mkString(", ")
@@ -317,6 +329,43 @@ object Similarity {
       .select(col("vec_id"), posexplode(expr(probes)))
       .select(col("vec_id"), col("col.cell").as("cell"),
         (col("col.ncos") * -1d).as("cosine"), (col("pos") + 1).as("probe_rank"))
+  }
+
+  /** Large-nlist probe assignment: the centroid matrix rides an executor
+    * broadcast and each partition scores its rows in a tight loop —
+    * identical math to the inlined projection (index-order double folds,
+    * java BigDecimal HALF_UP rounding like Spark's round(), ties broken by
+    * ascending cell), so the two paths are row-identical; only the
+    * physical plan differs. */
+  private[ops] def ivfProbesBroadcast(embeddings: DataFrame,
+      centroids: Seq[(Long, Array[Double])], nprobe: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = centroids.map { case (id, v) =>
+      (id, math.sqrt(v.foldLeft(0d)((acc, x) => acc + x * x)), v)
+    }.toArray
+    val bc = spark.sparkContext.broadcast(cents)
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (vid, emb) =>
+          var acc = 0d; var i = 0
+          while (i < emb.length) { acc += emb(i).toDouble * emb(i).toDouble; i += 1 }
+          val nrm = math.sqrt(acc)
+          val scored = cs.map { case (cell, cnrm, cv) =>
+            val n = math.min(emb.length, cv.length)
+            var d = 0d; var j = 0
+            while (j < n) { d += emb(j).toDouble * cv(j); j += 1 }
+            val cos = java.math.BigDecimal.valueOf(d / (nrm * cnrm))
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            (cos, cell)
+          }
+          scored.sortBy { case (cos, cell) => (-cos, cell) }
+            .take(nprobe).iterator.zipWithIndex
+            .map { case ((cos, cell), idx) => (vid, cell, cos, idx + 1) }
+        }
+      }.toDF("vec_id", "cell", "cosine", "probe_rank")
   }
 
   /** IVF probes over KMeans-TRAINED coarse centroids (MLlib, fixed seed)

@@ -179,7 +179,13 @@ object StreamingNearDup {
     * explicit: a stream cannot count its corpus, so the log2(n) plane
     * scaling happens at deploy time against the EXPECTED corpus size. */
   def embBuckets(embs: DataFrame, tables: Int, planes: Int, dims: Int): DataFrame =
-    embs.select(col("vec_id"), col("ts"),
+    // a wrong-width streamed vector would get a partial-prefix signature —
+    // a WRONG bucket, silently missed dups. The batch path fails fast on
+    // ragged corpora; a long-lived stream can't die on one bad producer
+    // row, so corrupt rows are excluded instead (mirrors the dot kernels'
+    // corrupt-row-degrades philosophy, GraftFunctions.dotF)
+    embs.where(size(col("embedding")) === dims)
+      .select(col("vec_id"), col("ts"),
       posexplode(array((0 until tables).map(t =>
         graft.ops.Similarity.sigColumn(t, planes, dims)): _*)).as(Seq("t", "sig")))
       .select(col("vec_id"), col("t"), col("sig"), col("ts"))

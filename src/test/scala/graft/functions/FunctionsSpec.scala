@@ -52,6 +52,13 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(5) === 6.0)
 
     // the same corrupt shapes through the CODEGEN path (non-constant rows)
+    // an array<double>-typed corpus resolves via the analyzer's implicit
+    // element cast (the HOF chains cast inline; the kernels must not
+    // regress that API surface to an AnalysisException)
+    val dbl = s.sql(
+      "SELECT graft_norm_f(array(cast(3 as double), cast(4 as double))) AS n").collect()(0)
+    assert(dbl.getDouble(0) === 5.0)
+
     val viaCodegen = s.range(1).selectExpr(
       "graft_dot_f(array(cast(id as float), cast(null as float)), " +
         "array(cast(1 as float), cast(2 as float))) as d",

@@ -147,6 +147,30 @@ class OpsSpec extends SparkSpec {
     assert(brute == ivf, "nprobe = nlist must equal brute force")
   }
 
+  test("IVF broadcast probe path is row-identical to the inlined projection") {
+    // past inlineNlistCap the dispatcher swaps the literal-inlined codegen
+    // projection for a broadcast-matrix mapPartitions pass; same centroid
+    // set must give byte-equal probes (same folds, rounding, tie order)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.select($"vec_id", $"embedding").orderBy($"vec_id").limit(12)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toIndexedSeq
+    val inline = Similarity.ivfProbesWith(emb, cents, 3)
+      .collect().map(_.toSeq).toSet
+    val bcast = Similarity.ivfProbesBroadcast(emb, cents, 3)
+      .collect().map(_.toSeq).toSet
+    assert(inline.nonEmpty && inline === bcast)
+  }
+
+  test("empty embeddings frame: index entry points return empty, not NPE") {
+    val empty = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(lit(false))
+    assert(Similarity.knnBrute(empty).count() === 0)
+    assert(Similarity.annCandidates(empty).count() === 0)
+    assert(Similarity.ivfTopK(empty).count() === 0)
+  }
+
   test("IVF over KMeans-trained centroids: valid probes, covers all vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = Similarity.ivfProbesTrained(emb, nlist = 8, nprobe = 2)
