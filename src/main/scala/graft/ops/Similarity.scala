@@ -107,13 +107,15 @@ object Similarity {
     * the batch index and the streaming near-dup path (stateless per-row =>
     * directly streamable, bit-identical to batch). */
   def sigColumn(t: Int, planes: Int, dims: Int, embCol: String = "embedding"): Column = {
-    // coalesce: a ragged (shorter-than-dims) embedding must contribute 0
-    // for its missing dims (SQL SUM-skips-NULL semantics, matching the
-    // oracle) — an unguarded product would null-poison the whole fold
+    // graft_dot_fd is the codegen'd index-order fold — same accumulation
+    // (and so the same sign) as the interpreted aggregate(zip_with(...))
+    // chain it replaced, which boxed every element of every plane
+    // projection. Width mismatches can't reach it (batch fails fast,
+    // streaming filters); a corrupt row's NULL dot gives CASE NULL > 0 =
+    // false, i.e. bit 0, instead of poisoning the job.
     val terms = (0 until planes).map { p =>
       val w = (0 until dims).map(d => s"${planeWeight(t, p, d)}D").mkString(",")
-      s"""(CASE WHEN aggregate(zip_with($embCol, array($w),
-         |  (x, y) -> coalesce(cast(x AS double) * y, 0D)), 0D, (acc, v) -> acc + v) > 0
+      s"""(CASE WHEN graft_dot_fd($embCol, array($w)) > 0
          |  THEN ${1L << p}L ELSE 0L END)""".stripMargin
     }
     expr(terms.mkString("(", " + ", ")"))
@@ -143,6 +145,7 @@ object Similarity {
     * random-hyperplane LSH. `tables`/`planes` = 0 (the default) resolve
     * from the corpus size ([[autoPlanes]]/[[autoTables]]). */
   def lshSignatures(embeddings: DataFrame, tables: Int = 0, planes: Int = 0): DataFrame = {
+    reg(embeddings) // sigColumn resolves graft_dot_fd at analysis time
     val (nt, np, dims) = resolveParams(embeddings, tables, planes)
     lshSignaturesResolved(embeddings, nt, np, dims)
   }
@@ -180,6 +183,7 @@ object Similarity {
     * process, like a pipelined run that checkpoints its index. */
   def annCandidates(embeddings: DataFrame, tables: Int = 0, planes: Int = 0,
       maxBucket: Option[Int] = defaultMaxBucket): DataFrame = {
+    reg(embeddings) // sigColumn resolves graft_dot_fd at analysis time
     val (nt, np, dims) = resolveParams(embeddings, tables, planes)
     val sigs = capBuckets(lshSignaturesResolved(embeddings, nt, np, dims), maxBucket)
     // positional per-vec signature vector, capped-away slots nulled; eager

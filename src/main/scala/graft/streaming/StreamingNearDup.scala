@@ -178,7 +178,9 @@ object StreamingNearDup {
     * md5-parity weights, same fold order). `tables`/`planes`/`dims` are
     * explicit: a stream cannot count its corpus, so the log2(n) plane
     * scaling happens at deploy time against the EXPECTED corpus size. */
-  def embBuckets(embs: DataFrame, tables: Int, planes: Int, dims: Int): DataFrame =
+  def embBuckets(embs: DataFrame, tables: Int, planes: Int, dims: Int): DataFrame = {
+    // sigColumn resolves graft_dot_fd at analysis time
+    graft.functions.GraftFunctions.register(embs.sparkSession)
     // a wrong-width streamed vector would get a partial-prefix signature —
     // a WRONG bucket, silently missed dups. The batch path fails fast on
     // ragged corpora; a long-lived stream can't die on one bad producer
@@ -189,6 +191,7 @@ object StreamingNearDup {
       posexplode(array((0 until tables).map(t =>
         graft.ops.Similarity.sigColumn(t, planes, dims)): _*)).as(Seq("t", "sig")))
       .select(col("vec_id"), col("t"), col("sig"), col("ts"))
+  }
 
   /** Streaming embedding near-dup candidates: (vec_id, dup_of, t, sig),
     * one row per colliding table — the continuous analogue of
