@@ -640,8 +640,9 @@ object Bench {
          |but the sandbox host itself: past ~4 concurrent executor JVMs the
          |shuffle-bound stage saturates the single machine's shared memory
          |bus / tmpfs bandwidth, while the compute-bound scoring kernel —
-         |which moves 40x less shuffle data per scored pair — keeps scaling
-         |at 1.02-1.07 in the SAME 8-JVM configuration in every run. On a
+         |which moves 40x less shuffle data per scored pair — clears the
+         |0.8 contract in the SAME 8-JVM configuration in every round-4
+         |record (0.90-1.23 across the five runs). On a
          |real cluster each added node brings its own disks, NICs and
          |memory bus (the resource this one-host sandbox cannot add), so
          |the kernel carries the N -> 4N throughput contract and the
