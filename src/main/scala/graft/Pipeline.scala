@@ -81,6 +81,8 @@ object Pipeline {
     val unknown = args.filter(_.startsWith("--")).filterNot(_ == "--preset")
     require(unknown.isEmpty,
       s"unknown flag(s): ${unknown.mkString(", ")} (supported: --preset)")
+    require(pos.length >= 2,
+      "usage: graft.Pipeline <sfDir> <workDir> [clusterer] [coder] [--preset]")
     val cfg = Config(pos(0), pos(1),
       if (pos.length > 2) pos(2) else "greedy",
       if (pos.length > 3) pos(3) else "soundex",

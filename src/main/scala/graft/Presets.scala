@@ -82,10 +82,14 @@ object Presets {
       pairsDf = Some(pairs), shinglesDf = Some(shingles))
   }
 
-  /** Production ANN top-k: KMeans-trained IVF cells at nlist ~ sqrt(n) —
-    * the measured best recall/cost point on this corpus (BENCH.md); the
-    * auto-scaled LSH index ([[Similarity.annTopK]]) remains the right
-    * shape for streaming/dedup-flavoured workloads. */
+  /** Production ANN top-k: KMeans-trained IVF cells at nlist ~ sqrt(n)
+    * with the RECALL-HOLDING probe rule nprobe = ceil(nlist/2)
+    * ([[Similarity.autoNprobe]] — holds the probed fraction of the
+    * calibrated nlist=16/nprobe=8 operating point as the corpus grows, the
+    * IVF twin of autoTables holding LSH recall); measured per round in
+    * BENCH.md next to the auto-scaled LSH index ([[Similarity.annTopK]]),
+    * which remains the right shape for streaming/dedup-flavoured
+    * workloads. */
   def annTopK(embeddings: DataFrame, k: Int = 5): DataFrame =
     Similarity.ivfTopKTrained(embeddings, k)
 }

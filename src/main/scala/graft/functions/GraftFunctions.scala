@@ -63,6 +63,44 @@ object GraftFunctions {
     acc
   }
 
+  /** double x float / double x double / norm-of-double variants: a
+    * double-typed corpus keeps its elements LOSSLESS (the HOF chain being
+    * replaced computed double elements exactly; an implicit
+    * array<double> -> array<float> downcast would silently change its
+    * numerics). The dot/norm expressions dispatch on the resolved child
+    * element type, so each combination calls its own branch-free kernel. */
+  def dotDF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getFloat(i).toDouble; i += 1
+    }
+    acc
+  }
+
+  def dotDD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i); i += 1
+    }
+    acc
+  }
+
+  def normD(a: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      acc += a.getDouble(i) * a.getDouble(i); i += 1
+    }
+    math.sqrt(acc)
+  }
+
   /** L2 norm of a float array, squares summed in index order — matches
     * `sqrt(aggregate(transform(a, x -> cast(x as double) * cast(x as
     * double)), 0D, (acc, v) -> acc + v))` including NULL-element
@@ -93,47 +131,67 @@ object GraftFunctions {
       (es: Seq[Expression]) => MetaphoneExpr(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot_f",
       (es: Seq[Expression]) => DotFExpr(es(0), es(1)), "scala_udf")
+    // graft_dot_fd is kept as an alias (oracle SQL and the sigColumn /
+    // centroid projections use it); both names dispatch on element types
     reg.createOrReplaceTempFunction("graft_dot_fd",
-      (es: Seq[Expression]) => DotFDExpr(es(0), es(1)), "scala_udf")
+      (es: Seq[Expression]) => DotFExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_norm_f",
       (es: Seq[Expression]) => NormFExpr(es(0)), "scala_udf")
   }
 }
 
 // ImplicitCastInputTypes (not bare ExpectsInputTypes) on the array
-// kernels: the HOF chains they replaced cast elements inline, so an
-// array<double>-typed corpus must keep resolving (the analyzer injects
-// the element cast) instead of failing with a type mismatch
+// kernels: the HOF chains they replaced cast elements inline, so any
+// array-typed corpus must keep resolving (the analyzer injects an element
+// cast) instead of failing with a type mismatch. The wanted element type
+// is RESOLVED FROM THE CHILD: an array<double> input stays double (its
+// elements are computed losslessly, as the HOF chain did — an implicit
+// downcast to float would silently change the numerics of a double-typed
+// corpus), everything else casts to float as before. inputTypes is only
+// consulted by the analyzer once children are resolved, so dispatching on
+// the child's dataType here is safe.
+private object ArrayKernelType {
+  def elemOf(e: Expression): DataType =
+    if (!e.resolved) FloatType // analyzer re-consults once children resolve
+    else e.dataType match {
+      case ArrayType(DoubleType, _) => DoubleType
+      case _ => FloatType
+    }
+  def isDouble(e: Expression): Boolean = elemOf(e) == DoubleType
+}
+
+/** graft_dot_f / graft_dot_fd: dot product of two float/double arrays,
+  * accumulated in index order as doubles (see [[GraftFunctions.dotF]]).
+  * Both registered names resolve to this expression; the kernel variant
+  * is chosen from the resolved element types. */
 case class DotFExpr(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
-  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def inputTypes = Seq(
+    ArrayType(ArrayKernelType.elemOf(left)),
+    ArrayType(ArrayKernelType.elemOf(right)))
   override def dataType: DataType = DoubleType
   // nullable even on non-null array columns: a NULL ELEMENT nulls the result
   override def nullable: Boolean = true
-  override def nullSafeEval(a: Any, b: Any): Any =
-    GraftFunctions.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  private lazy val kernel =
+    (ArrayKernelType.isDouble(left), ArrayKernelType.isDouble(right)) match {
+      case (false, false) => "dotF"
+      case (false, true) => "dotFD"
+      case (true, false) => "dotDF"
+      case (true, true) => "dotDD"
+    }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    kernel match {
+      case "dotF" => GraftFunctions.dotF(x, y)
+      case "dotFD" => GraftFunctions.dotFD(x, y)
+      case "dotDF" => GraftFunctions.dotDF(x, y)
+      case _ => GraftFunctions.dotDD(x, y)
+    }
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("dotRes")
-      s"""java.lang.Double $r = graft.functions.GraftFunctions.dotF($a, $b);
-         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
-         |""".stripMargin
-    })
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-}
-
-case class DotFDExpr(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes {
-  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(DoubleType))
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
-  override def nullSafeEval(a: Any, b: Any): Any =
-    GraftFunctions.dotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val r = ctx.freshName("dotRes")
-      s"""java.lang.Double $r = graft.functions.GraftFunctions.dotFD($a, $b);
+      s"""java.lang.Double $r = graft.functions.GraftFunctions.$kernel($a, $b);
          |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
          |""".stripMargin
     })
@@ -143,15 +201,19 @@ case class DotFDExpr(left: Expression, right: Expression)
 
 case class NormFExpr(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
-  override def inputTypes = Seq(ArrayType(FloatType))
+  override def inputTypes = Seq(ArrayType(ArrayKernelType.elemOf(child)))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
-  override def nullSafeEval(a: Any): Any =
-    GraftFunctions.normF(a.asInstanceOf[ArrayData])
+  private lazy val kernel =
+    if (ArrayKernelType.isDouble(child)) "normD" else "normF"
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (kernel == "normD") GraftFunctions.normD(x) else GraftFunctions.normF(x)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val r = ctx.freshName("normRes")
-      s"""java.lang.Double $r = graft.functions.GraftFunctions.normF($a);
+      s"""java.lang.Double $r = graft.functions.GraftFunctions.$kernel($a);
          |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
          |""".stripMargin
     })

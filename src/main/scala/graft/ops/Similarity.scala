@@ -277,6 +277,30 @@ object Similarity {
   def autoNlist(n: Long): Int =
     math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
 
+  /** Probed fraction of the calibrated operating point: nlist = 16,
+    * nprobe = 8 (the measured best recall/cost IVF point on the reference
+    * synthetic corpus — recall@5 0.763 deterministic / best trained row).
+    * [[autoNprobe]] HOLDS this fraction as nlist grows with sqrt(n) —
+    * the IVF twin of [[autoTables]] holding LSH recall as planes grow:
+    * without it the probed fraction (and recall with it) shrinks as the
+    * corpus grows (measured 0.763 -> 0.48 when nlist went 16 -> 63 at a
+    * fixed nprobe 8). On a NEAR-RANDOM corpus a constant fraction is the
+    * price of constant recall (candidate work stays frac*n per query —
+    * the intrinsic hardness, see BENCH.md); clustered real corpora hold
+    * recall at much smaller fractions, which callers dial in via an
+    * explicit nprobe. */
+  val probeFraction = 0.5
+
+  /** Recall-holding probe count: ceil(nlist * probeFraction), floored at
+    * 4, CAPPED at 128 (the probe list is a per-row top-nprobe slice over
+    * the centroid scores; past the cap the operator trades recall instead
+    * of per-row slice width — the same graceful-degradation contract as
+    * the [[autoTables]] 64-table cap, with the cap chosen so the fraction
+    * holds to nlist = 256 ~ a 65k-vector corpus, beyond which
+    * [[ivfProbesBroadcast]] carries the index anyway). */
+  def autoNprobe(nlist: Int): Int =
+    math.min(128, math.max(4, math.ceil(nlist * probeFraction).toInt))
+
   private def resolveNlist(embeddings: DataFrame, nlist: Int): Int = {
     // one combined aggregate action (width check + count) — not a separate
     // assertFixedWidth + count(), which would scan the corpus twice
@@ -287,13 +311,14 @@ object Similarity {
     if (nlist > 0) nlist else autoNlist(r.getLong(2))
   }
 
-  def ivfProbes(embeddings: DataFrame, nlist: Int = 0, nprobe: Int = 4): DataFrame = {
+  def ivfProbes(embeddings: DataFrame, nlist: Int = 0, nprobe: Int = 0): DataFrame = {
     val nl = resolveNlist(embeddings, nlist)
+    val np = if (nprobe > 0) nprobe else autoNprobe(nl)
     val cents = embeddings.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(nl).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .toIndexedSeq
-    ivfProbesWith(embeddings, cents, nprobe)
+    ivfProbesWith(embeddings, cents, np)
   }
 
   /** Above this many centroids the literal-inlined probe projection would
@@ -339,8 +364,13 @@ object Similarity {
     * broadcast and each partition scores its rows in a tight loop —
     * identical math to the inlined projection (index-order double folds,
     * java BigDecimal HALF_UP rounding like Spark's round(), ties broken by
-    * ascending cell), so the two paths are row-identical; only the
-    * physical plan differs. */
+    * ascending cell), so the two paths are row-identical ON CLEAN ROWS;
+    * only the physical plan differs. Corrupt rows (NULL id/embedding, a
+    * NULL element, a width different from the centroids') are DROPPED
+    * before the typed scan — the degrade-don't-crash twin of the inlined
+    * path's NULL-dot semantics (graft_dot_fd nulls the cosine there; here
+    * a NULL would NPE the primitive-array encoder and a ragged row would
+    * otherwise get a silently-wrong partial-prefix dot). */
   private[ops] def ivfProbesBroadcast(embeddings: DataFrame,
       centroids: Seq[(Long, Array[Double])], nprobe: Int): DataFrame = {
     val spark = embeddings.sparkSession
@@ -348,8 +378,12 @@ object Similarity {
     val cents = centroids.map { case (id, v) =>
       (id, math.sqrt(v.foldLeft(0d)((acc, x) => acc + x * x)), v)
     }.toArray
+    val dims = cents.head._3.length
     val bc = spark.sparkContext.broadcast(cents)
     embeddings.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+        !exists(col("embedding"), _.isNull) &&
+        size(col("embedding")) === lit(dims))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value
@@ -358,9 +392,8 @@ object Similarity {
           while (i < emb.length) { acc += emb(i).toDouble * emb(i).toDouble; i += 1 }
           val nrm = math.sqrt(acc)
           val scored = cs.map { case (cell, cnrm, cv) =>
-            val n = math.min(emb.length, cv.length)
             var d = 0d; var j = 0
-            while (j < n) { d += emb(j).toDouble * cv(j); j += 1 }
+            while (j < dims) { d += emb(j).toDouble * cv(j); j += 1 }
             val cos = java.math.BigDecimal.valueOf(d / (nrm * cnrm))
               .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
             (cos, cell)
@@ -377,18 +410,19 @@ object Similarity {
     * corpora), same shuffle-free probe projection as [[ivfProbes]]. Not
     * SQL-oracle-reproducible (iterative training), so it is fixture-tested
     * instead; cell ids are the centroid indices. */
-  def ivfProbesTrained(embeddings: DataFrame, nlist: Int = 0, nprobe: Int = 4,
+  def ivfProbesTrained(embeddings: DataFrame, nlist: Int = 0, nprobe: Int = 0,
       seed: Long = 7L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val nl = resolveNlist(embeddings, nlist)
+    val np = if (nprobe > 0) nprobe else autoNprobe(nl)
     val feats = embeddings
       .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
     val model = new KMeans().setK(nl).setSeed(seed).setMaxIter(10)
       .fit(feats)
     val cents = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toArray) }.toSeq
-    ivfProbesWith(embeddings, cents, nprobe)
+    ivfProbesWith(embeddings, cents, np)
   }
 
   /** IVF-flat ANN top-k: candidates are vectors whose ASSIGNED cell is
@@ -396,26 +430,41 @@ object Similarity {
     * cells (shuffle key = cell, per-cell size bounded by the coarse
     * partition). The second scale path next to [[annTopK]] — better
     * recall/cost control on clustered corpora. */
-  def ivfTopK(embeddings: DataFrame, k: Int = 5, nlist: Int = 0, nprobe: Int = 4): DataFrame =
-    ivfTopKFrom(embeddings, ivfProbes(embeddings, nlist, nprobe), k)
+  /** `queries`: optional (vec_id) frame restricting the QUERY side of the
+    * top-k join (cell assignment still covers the whole corpus — every
+    * vector can be a neighbor). The sampled-recall evaluation valve: at
+    * large n, scoring a query sample instead of all n queries turns the
+    * verify join from frac*n^2 into frac*n*|sample| without touching the
+    * index itself. None (the default) scores every vector. */
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, nlist: Int = 0, nprobe: Int = 0,
+      queries: Option[DataFrame] = None): DataFrame =
+    ivfTopKFrom(embeddings, ivfProbes(embeddings, nlist, nprobe), k, queries)
 
   /** IVF-flat top-k over KMEANS-TRAINED cells — the production default
     * index (balanced cells on clustered corpora), same plan shape as the
     * deterministic variant; benched side-by-side in Bench. */
   def ivfTopKTrained(embeddings: DataFrame, k: Int = 5, nlist: Int = 0,
-      nprobe: Int = 4, seed: Long = 7L): DataFrame =
-    ivfTopKFrom(embeddings, ivfProbesTrained(embeddings, nlist, nprobe, seed), k)
+      nprobe: Int = 0, seed: Long = 7L,
+      queries: Option[DataFrame] = None): DataFrame =
+    ivfTopKFrom(embeddings, ivfProbesTrained(embeddings, nlist, nprobe, seed), k,
+      queries)
 
-  private def ivfTopKFrom(embeddings: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+  private def ivfTopKFrom(embeddings: DataFrame, probes: DataFrame, k: Int,
+      queries: Option[DataFrame] = None): DataFrame = {
     val assign = probes.filter(col("probe_rank") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cell"))
     val e = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm("embedding"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val querySide = queries match {
+      case Some(q) => probes.join(
+        broadcast(q.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+      case None => probes
+    }
     // each neighbor has exactly one assigned cell -> the join emits each
     // (vec_id, neighbor_id) at most once; no distinct needed
-    probes.select(col("vec_id"), col("cell"))
+    querySide.select(col("vec_id"), col("cell"))
       .join(assign, "cell")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .join(e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na")), "vec_id")
@@ -510,8 +559,10 @@ object Similarity {
       |  ) WHERE cosine >= 0.3
       |),
       |ivf_params AS (
-      |  SELECT greatest(16, cast(floor(sqrt(count(*))) AS INT)) AS nlist
-      |  FROM embeddings
+      |  SELECT nlist,
+      |         least(128, greatest(4, cast(ceil(nlist * 0.5) AS INT))) AS nprobe
+      |  FROM (SELECT greatest(16, cast(floor(sqrt(count(*))) AS INT)) AS nlist
+      |        FROM embeddings)
       |),
       |ivf_centroids AS (
       |  SELECT cell, cv, cnrm FROM (
@@ -531,7 +582,7 @@ object Similarity {
       |                            FOR i IN generate_series(1, len(e.embedding)) ])
       |                 / (e.nrm * c.cnrm), 6) DESC, c.cell ASC) AS probe_rank
       |    FROM emb e, ivf_centroids c
-      |  ) WHERE probe_rank <= 4
+      |  ) WHERE probe_rank <= (SELECT nprobe FROM ivf_params)
       |),
       |ivf_topk AS (
       |  SELECT vec_id, neighbor_id, cosine, rank::INT AS rank FROM (

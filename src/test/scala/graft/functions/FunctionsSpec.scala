@@ -67,4 +67,27 @@ class FunctionsSpec extends SparkSpec {
         "array(cast(1 as float), cast(2 as float))) as m").collect()(0)
     assert(viaCodegen.isNullAt(0) && viaCodegen.isNullAt(1) && viaCodegen.isNullAt(2))
   }
+
+  test("double-typed arrays compute losslessly — no silent float downcast") {
+    // 1 + 1e-9 is NOT representable as float ((1.0 + 1e-9).toFloat == 1.0f);
+    // a downcasting kernel would fold it to exactly 7.0 below
+    assert((1.0 + 1e-9).toFloat.toDouble == 1.0)
+    // non-constant input so the projection runs through codegen
+    val r = s.range(1).selectExpr(
+      "graft_dot_f(array(cast(id as double) + 1.0 + 1e-9, 2.0D), " +
+        "array(3.0D, 2.0D)) AS dd",
+      "(1.0D + 1e-9) * 3.0D + 2.0D * 2.0D AS expect_dd",
+      // mixed: double left x float right dispatches dotDF
+      "graft_dot_f(array(cast(id as double) + 1.0 + 1e-9), " +
+        "array(cast(2 as float))) AS df",
+      "(1.0D + 1e-9) * cast(cast(2 as float) as double) AS expect_df",
+      "graft_norm_f(array(cast(id as double) + 1.0 + 1e-9)) AS nd",
+      "sqrt((1.0D + 1e-9) * (1.0D + 1e-9)) AS expect_nd").collect()(0)
+    Seq((0, 1), (2, 3), (4, 5)).foreach { case (a, b) =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(a)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(b)), s"col $a != col $b")
+      assert(r.getDouble(a) != math.floor(r.getDouble(a)),
+        s"col $a collapsed to an integral value — float truncation")
+    }
+  }
 }

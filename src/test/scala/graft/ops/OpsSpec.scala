@@ -161,6 +161,21 @@ class OpsSpec extends SparkSpec {
     val bcast = Similarity.ivfProbesBroadcast(emb, cents, 3)
       .collect().map(_.toSeq).toSet
     assert(inline.nonEmpty && inline === bcast)
+
+    // corrupt rows (NULL embedding / ragged width / NULL element) must
+    // DEGRADE — dropped from the broadcast path's output, clean rows
+    // untouched — not NPE the encoder or fold a partial-prefix dot
+    // (matches the inlined path, where graft_dot_fd nulls the cosine)
+    val corrupt = spark.sql(
+      """SELECT 9001L AS vec_id, cast(null as array<float>) AS embedding
+        |UNION ALL SELECT 9002L, array(cast(1 as float), cast(2 as float))
+        |UNION ALL SELECT 9003L, transform(sequence(0, 63),
+        |  i -> IF(i = 3, cast(null as float), cast(i as float)))""".stripMargin)
+    val withCorrupt = emb.select($"vec_id", $"embedding").unionByName(corrupt)
+    val bcastCorrupt = Similarity.ivfProbesBroadcast(withCorrupt, cents, 3)
+      .collect()
+    assert(bcastCorrupt.map(_.toSeq).toSet === bcast)
+    assert(!bcastCorrupt.exists(r => r.getLong(0) >= 9001L))
   }
 
   test("empty embeddings frame: index entry points return empty, not NPE") {
