@@ -199,6 +199,22 @@ object Queries {
         TextDedup.ctes, TextAnalysis.ctes))
     ),
 
+    // The streaming curation FOUNDER-VERDICT semantics, oracle-checked via
+    // its batch twin: per bucket the founder is the minimum (ts, doc_id)
+    // row and later bucket-mates are dup-flagged — exactly the fold
+    // StreamingNearDup.founderFold applies per micro-batch. With
+    // ts = timestamp_seconds(doc_id) the arrival order is doc_id order,
+    // so the verdict is plain SQL (q_stream_signals pins the row-local
+    // signal half; this pins the cross-document dup-merge half).
+    "q_stream_keepset" -> (
+      ((s: SparkSession, dir: String) => graft.streaming.StreamingCuration.keepSetBatch(
+        documents(s, dir).withColumn("ts", timestamp_seconds(col("doc_id"))),
+        documents(s, dir).filter(col("doc_id") % 97 === 0))),
+      Some(rawCtes(
+        "SELECT doc_id, reason = 'kept' AS keep, reason FROM stream_keepset",
+        TextDedup.ctes, TextAnalysis.ctes, graft.ops.Curation.founderCtes))
+    ),
+
     // Benchmark decontamination: per-doc shared-shingle count against a
     // deterministic in-corpus benchmark subset (doc_id % 97 == 0).
     "q_decontam" -> (

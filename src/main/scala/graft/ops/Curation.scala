@@ -93,4 +93,40 @@ object Curation {
       |  LEFT JOIN repetition r USING (doc_id)
       |  LEFT JOIN decontam c USING (doc_id)
       |)""".stripMargin
+
+  /** DuckDB CTEs for the ARRIVAL-ORDER founder verdict — the batch twin of
+    * the streaming curation keepSet
+    * ([[graft.streaming.StreamingCuration.keepSetBatch]] with
+    * ts = timestamp_seconds(doc_id), so (ts, doc_id) arrival order is
+    * doc_id order and the per-bucket founder is plain min(doc_id)).
+    * Unlike [[ctes]]' keep_set (near_dup = CC-cluster min-representative),
+    * near_dup here flags every NON-FOUNDER bucket-mate — the streaming
+    * founder semantics. Append after TextDedup.ctes AND TextAnalysis.ctes
+    * (uses exact_dups, lsh_buckets, lang_id, quality, repetition,
+    * decontam). */
+  val founderCtes: String =
+    """founder_near AS (
+      |  SELECT DISTINCT x.doc_id, true AS is_dup
+      |  FROM lsh_buckets x JOIN lsh_buckets y USING (band, bucket_key)
+      |  WHERE y.doc_id < x.doc_id
+      |),
+      |stream_keepset AS (
+      |  SELECT d.doc_id,
+      |         CASE WHEN coalesce(e.is_dup, false) THEN 'exact_dup'
+      |              WHEN coalesce(nf.is_dup, false) THEN 'near_dup'
+      |              WHEN coalesce(l.lang_pred, 'und') <> 'en' THEN 'lang'
+      |              WHEN coalesce(q.quality, 0.0) < 0.5 THEN 'quality'
+      |              WHEN coalesce(r.top_word_ratio, 1.0) > 0.2
+      |                   OR coalesce(r.dup_3gram_ratio, 1.0) > 0.2
+      |                   THEN 'repetition'
+      |              WHEN coalesce(c.is_contaminated, false) THEN 'contaminated'
+      |              ELSE 'kept' END AS reason
+      |  FROM documents d
+      |  LEFT JOIN exact_dups e USING (doc_id)
+      |  LEFT JOIN founder_near nf USING (doc_id)
+      |  LEFT JOIN lang_id l USING (doc_id)
+      |  LEFT JOIN quality q USING (doc_id)
+      |  LEFT JOIN repetition r USING (doc_id)
+      |  LEFT JOIN decontam c USING (doc_id)
+      |)""".stripMargin
 }

@@ -88,6 +88,52 @@ object StreamingCuration {
       .withColumn("is_contaminated", col("contaminated_cnt") >= minOverlap)
   }
 
+  /** One bucket row per dup-evidence key with the row-local signals along:
+    * band -1 = exact text hash (every doc has it — the totality anchor),
+    * bands 0..3 = MinHash band keys (only for docs with >= 1 shingle, as
+    * in batch). Shared by the streaming verdict and its batch twin
+    * [[keepSetBatch]] — the two cannot diverge on bucketing or signals. */
+  private def bucketedPieces(docs: DataFrame, benchmark: DataFrame,
+      minOverlap: Int): DataFrame = {
+    val sigCols = StreamingNearDup.minhashSigCols(8)
+    val bandArr = array(StreamingNearDup.bandStructCols(8, 2): _*)
+    // unscorable signals coalesce to the SAME defaults the batch verdict
+    // uses (an all-punctuation/empty doc has NULL quality etc.; a typed
+    // non-nullable Double field would otherwise poison-pill the stream)
+    val coalesced = Seq(
+      coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
+      coalesce(col("quality"), lit(0.0)).as("quality"),
+      coalesce(col("top_word_ratio"), lit(1.0)).as("top_word_ratio"),
+      coalesce(col("dup_3gram_ratio"), lit(1.0)).as("dup_3gram_ratio"),
+      col("is_contaminated"))
+    val signalCols = Seq(col("lang_pred"), col("quality"),
+      col("top_word_ratio"), col("dup_3gram_ratio"), col("is_contaminated"))
+    withSignals(docs, benchmark, minOverlap)
+      .select(Seq(col("doc_id"), col("ts"), col("text"), col("sh"))
+        ++ coalesced: _*)
+      .select(Seq(col("doc_id"), col("ts"), col("text"), col("sh"))
+        ++ signalCols ++ sigCols: _*)
+      .withColumn("bb", explode(concat(
+        array(struct(lit(-1).as("band"), md5(col("text")).as("bucket_key"))),
+        filter(bandArr, _ => size(col("sh")) > 0))))
+      .select(Seq(col("doc_id"), col("ts"), col("bb.band").as("band"),
+        col("bb.bucket_key").as("key")) ++ signalCols: _*)
+  }
+
+  /** Reason priority shared by the streaming verdict and the batch twin:
+    * exact_dup, near_dup, lang, quality, repetition, contaminated, kept. */
+  private def reasonCol(keepLang: String, minQuality: Double,
+      maxTopWordRatio: Double,
+      maxDup3GramRatio: Double): org.apache.spark.sql.Column =
+    when(col("exact_dup"), "exact_dup")
+      .when(col("near_dup"), "near_dup")
+      .when(col("lang_pred") =!= keepLang, "lang")
+      .when(col("quality") < minQuality, "quality")
+      .when(col("top_word_ratio") > maxTopWordRatio ||
+        col("dup_3gram_ratio") > maxDup3GramRatio, "repetition")
+      .when(col("is_contaminated"), "contaminated")
+      .otherwise("kept")
+
   /** Streaming keep/drop verdict: one row (doc_id, keep, reason) per input
     * document, emitted once the document's event-time window closes under
     * the watermark (a verdict cannot finalize earlier anyway — a dup flag
@@ -132,32 +178,16 @@ object StreamingCuration {
     val horizonMs = latenessMinutes * 60 * 1000L
     val lateness = s"$latenessMinutes minutes"
 
-    // one bucket row per dup-evidence key: band -1 = exact text hash
-    // (every doc has it — the totality anchor), bands 0..3 = MinHash
-    // band keys (only for docs with >= 1 shingle, as in batch).
-    val sigCols = StreamingNearDup.minhashSigCols(8)
-    val bandArr = array(StreamingNearDup.bandStructCols(8, 2): _*)
-    // unscorable signals coalesce to the SAME defaults the batch verdict
-    // uses (an all-punctuation/empty doc has NULL quality etc.; a typed
-    // non-nullable Double field would otherwise poison-pill the stream)
-    val coalesced = Seq(
-      coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
-      coalesce(col("quality"), lit(0.0)).as("quality"),
-      coalesce(col("top_word_ratio"), lit(1.0)).as("top_word_ratio"),
-      coalesce(col("dup_3gram_ratio"), lit(1.0)).as("dup_3gram_ratio"),
-      col("is_contaminated"))
-    val signalCols = Seq(col("lang_pred"), col("quality"),
-      col("top_word_ratio"), col("dup_3gram_ratio"), col("is_contaminated"))
-    val bucketed = withSignals(childDocs, benchmark, minOverlap)
-      .select(Seq(col("doc_id"), col("ts"), col("text"), col("sh"))
-        ++ coalesced: _*)
-      .select(Seq(col("doc_id"), col("ts"), col("text"), col("sh"))
-        ++ signalCols ++ sigCols: _*)
-      .withColumn("bb", explode(concat(
-        array(struct(lit(-1).as("band"), md5(col("text")).as("bucket_key"))),
-        filter(bandArr, _ => size(col("sh")) > 0))))
-      .select(Seq(col("doc_id"), col("ts"), col("bb.band").as("band"),
-        col("bb.bucket_key").as("key")) ++ signalCols: _*)
+    // docs_in counts one row per document (its band -1 anchor bucket);
+    // verdicts_out below counts emitted verdicts. Both surface in every
+    // StreamingQueryProgress.observedMetrics — the operational signal for
+    // the documented horizon-edge drop (a doc arriving at the very edge of
+    // the lateness window can find its verdict window already closed):
+    // cumulative docs_in > cumulative verdicts_out flags silently dropped
+    // docs, which the batch keepSet's totality contract never allows.
+    val bucketed = bucketedPieces(childDocs, benchmark, minOverlap)
+      .observe("graft_curation_in",
+        count(when(col("band") === -1, 1)).as("docs_in"))
 
     val pieces = bucketed
       .withWatermark("ts", lateness)
@@ -186,17 +216,49 @@ object StreamingCuration {
         first(col("dup_3gram_ratio")).as("dup_3gram_ratio"),
         max(col("is_contaminated")).as("is_contaminated"))
       .withColumn("reason",
-        when(col("exact_dup"), "exact_dup")
-          .when(col("near_dup"), "near_dup")
-          .when(col("lang_pred") =!= keepLang, "lang")
-          .when(col("quality") < minQuality, "quality")
-          .when(col("top_word_ratio") > maxTopWordRatio ||
-            col("dup_3gram_ratio") > maxDup3GramRatio, "repetition")
-          .when(col("is_contaminated"), "contaminated")
-          .otherwise("kept"))
+        reasonCol(keepLang, minQuality, maxTopWordRatio, maxDup3GramRatio))
       .select(col("doc_id"), (col("reason") === "kept").as("keep"),
         col("reason"))
+      .observe("graft_curation_out", count(lit(1)).as("verdicts_out"))
     parent.catalog.dropGlobalTempView(vn)
     verdicts
+  }
+
+  /** BATCH twin of [[keepSet]]'s full output contract — the arrival-order
+    * founder verdict on a bounded corpus: per bucket the founder is the
+    * minimum (ts, doc_id) row (exactly the order [[StreamingNearDup
+    * .founderFold]] folds in), every later bucket-mate is flagged, and the
+    * same reason priority produces (doc_id, keep, reason). Shares
+    * [[bucketedPieces]] and [[reasonCol]] with the streaming query by
+    * construction, and is plain SQL over sortable columns — the DuckDB
+    * oracle for the streaming keepSet's founder-dup merge semantics
+    * (q_stream_keepset), which the windowed streaming form itself cannot
+    * be (its output depends on watermark progression). */
+  def keepSetBatch(docs: DataFrame, benchmark: DataFrame,
+      minQuality: Double = 0.5,
+      maxTopWordRatio: Double = 0.2,
+      maxDup3GramRatio: Double = 0.2,
+      keepLang: String = "en",
+      minOverlap: Int = 1): DataFrame = {
+    val pieces = bucketedPieces(docs, benchmark, minOverlap)
+    val founders = pieces.groupBy(col("band"), col("key"))
+      .agg(min(struct(col("ts"), col("doc_id"))).as("f"))
+      .select(col("band"), col("key"), col("f.doc_id").as("founder_id"))
+    pieces.join(founders, Seq("band", "key"))
+      .withColumn("is_dup", col("doc_id") =!= col("founder_id"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("band") === -1, col("is_dup"))).as("exact_dup"),
+        coalesce(max(when(col("band") =!= -1, col("is_dup"))), lit(false))
+          .as("near_dup"),
+        first(col("lang_pred")).as("lang_pred"),
+        first(col("quality")).as("quality"),
+        first(col("top_word_ratio")).as("top_word_ratio"),
+        first(col("dup_3gram_ratio")).as("dup_3gram_ratio"),
+        max(col("is_contaminated")).as("is_contaminated"))
+      .withColumn("reason",
+        reasonCol(keepLang, minQuality, maxTopWordRatio, maxDup3GramRatio))
+      .select(col("doc_id"), (col("reason") === "kept").as("keep"),
+        col("reason"))
   }
 }

@@ -29,6 +29,14 @@ object StreamingNearDup {
   final case class EmbDupOut(vec_id: Long, dup_of: Long, t: Int, sig: Long)
   final case class ShBucketRow(doc_id: Long, band: Int, chunk: Long, ts: Timestamp)
   final case class ShDupOut(doc_id: Long, dup_of: Long, band: Int, chunk: Long)
+  // verified-stage rows: the founder's fingerprint / vector rides the
+  // bucket state so the pair check runs IN the state function
+  final case class ShVBucketRow(doc_id: Long, simhash: Long, band: Int,
+      chunk: Long, ts: Timestamp)
+  final case class ShVerifiedOut(a: Long, b: Long, hamming: Int)
+  final case class EmbVBucketRow(vec_id: Long, embedding: Array[Float],
+      t: Int, sig: Long, ts: Timestamp)
+  final case class EmbVerifiedOut(a: Long, b: Long, cosine: Double)
 
   private[streaming] def h32sql(e: String) =
     s"cast(conv(substring(md5($e), 1, 8), 16, 10) as bigint)"
@@ -63,6 +71,39 @@ object StreamingNearDup {
       st.foreach { f =>
         state.update(f)
         state.setTimeoutTimestamp(f.maxTs + horizonMs)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** [[founderFold]] with a PAYLOAD carried in the founder state (the
+    * founder's fingerprint / vector), so a verify step can run inside the
+    * state function where both sides of the pair are at hand — same
+    * ordering, founding, eviction and memory contract; state is
+    * (founder, maxTs, payload) per live bucket, payload size bounded by
+    * one fingerprint/vector. */
+  private[streaming] def founderFoldP[R, O, P](horizonMs: Long, idOf: R => Long,
+      tsOf: R => Timestamp, payloadOf: R => P,
+      emit: (R, Long, P, Boolean) => Iterator[O])(
+      rows: Iterator[R], state: GroupState[(Long, Long, P)]): Iterator[O] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val sorted = rows.toSeq.sortBy(r => (tsOf(r).getTime, idOf(r)))
+      var st = state.getOption
+      val out = Seq.newBuilder[O]
+      sorted.foreach { r =>
+        st match {
+          case None =>
+            st = Some((idOf(r), tsOf(r).getTime, payloadOf(r)))
+            out ++= emit(r, idOf(r), payloadOf(r), false)
+          case Some((f, maxTs, p)) =>
+            st = Some((f, math.max(maxTs, tsOf(r).getTime), p))
+            out ++= emit(r, f, p, f != idOf(r))
+        }
+      }
+      st.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s._2 + horizonMs)
       }
       out.result().iterator
     }
@@ -171,6 +212,59 @@ object StreamingNearDup {
       }
   }
 
+  /** [[simhashBuckets]] with the fingerprint kept on each bucket row —
+    * input to the VERIFIED near-dup stage, where the founder's fingerprint
+    * rides the bucket state. */
+  def simhashBucketsFp(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(filter(split(col("text"), " "), w => w =!= "")) > 0)
+      .select(col("doc_id"), col("ts"),
+        graft.ops.TextDedup.simhashColumn("text").as("simhash"))
+      .select(col("doc_id"), col("ts"), col("simhash"),
+        posexplode(array((0 until 4).map(i =>
+          expr(s"(simhash >> ${8 * i}) & 255")): _*)).as(Seq("band", "chunk")))
+      .select(col("doc_id"), col("simhash"), col("band"), col("chunk"), col("ts"))
+
+  /** Streaming SimHash near-dups WITH the hamming verify closed in-stream:
+    * (a, b, hamming) pairs, a < b, hamming <= `maxHamming` — the
+    * continuous analogue of [[graft.ops.TextDedup.simhashNearDups]]'s full
+    * output (candidates + bit_count verify), not just its candidate stage.
+    * The founder's 32-bit fingerprint rides the bucket state (one extra
+    * long per live bucket), so the verify is a bitCount(xor) at emission —
+    * no downstream join, no second stateful operator. One row per
+    * colliding band (consumers dedup by (a, b) — on bounded input the
+    * DISTINCT pair set equals the batch operator's for buckets of size
+    * <= 2; bigger buckets pair against the founder only, the streaming
+    * star-vs-clique semantics documented on [[nearDups]]). */
+  def simhashNearDupsVerified(docs: DataFrame, maxHamming: Int = 3,
+      latenessMinutes: Int = 10): Dataset[ShVerifiedOut] = {
+    require(maxHamming <= 3, "4x8-bit banding is lossless only for maxHamming <= 3")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val horizonMs = latenessMinutes * 60 * 1000L
+    simhashBucketsFp(docs)
+      .withWatermark("ts", s"$latenessMinutes minutes")
+      .as[ShVBucketRow]
+      .groupByKey(r => (r.band, r.chunk))
+      .flatMapGroupsWithState[(Long, Long, Long), ShVerifiedOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          founderFoldP[ShVBucketRow, ShVerifiedOut, Long](
+            horizonMs, _.doc_id, _.ts, _.simhash,
+            (r, founder, founderFp, dup) =>
+              if (!dup) Iterator.empty
+              else {
+                // identical expression to the batch verify:
+                // cast(bit_count(x.simhash ^ y.simhash) as int)
+                val h = java.lang.Long.bitCount(r.simhash ^ founderFp)
+                if (h <= maxHamming)
+                  Iterator(ShVerifiedOut(math.min(r.doc_id, founder),
+                    math.max(r.doc_id, founder), h))
+                else Iterator.empty
+              })(rows, state)
+      }
+  }
+
   /** Stateless per-row random-hyperplane buckets over an EMBEDDING stream
     * (vec_id, embedding float[], ts): one (t, sig) sign-pattern bucket per
     * hash table, bit-identical to the batch index's signatures (shared
@@ -217,6 +311,66 @@ object StreamingNearDup {
             (r, founder, dup) =>
               if (dup) Iterator(EmbDupOut(r.vec_id, founder, key._1, key._2))
               else Iterator.empty)(rows, state)
+      }
+  }
+
+  /** round(dot / (|a| * |b|), 6) with the EXACT arithmetic of the batch
+    * verify column `round(graft_dot_f(ea, eb) / (graft_norm_f(ea) *
+    * graft_norm_f(eb)), 6)`: index-order double folds, norms rooted before
+    * multiplying, java BigDecimal HALF_UP rounding (== Spark's round() on
+    * doubles — the same pinning as [[graft.ops.Similarity.ivfProbesBroadcast]]). */
+  private[streaming] def cosine6(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0d; var na = 0d; var nb = 0d; var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    java.math.BigDecimal.valueOf(d / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  /** Streaming embedding near-dups WITH the cosine verify closed in-stream:
+    * (a, b, cosine) pairs, a < b, cosine >= `minCosine` — the continuous
+    * analogue of [[graft.ops.Similarity.embedNearDups]]'s full output.
+    * The founder's vector rides the bucket state (state per live bucket
+    * grows from two longs to one vector — still bounded by buckets in the
+    * watermark horizon), so verification happens at emission with both
+    * vectors at hand: no downstream join against a vector store. One row
+    * per colliding table (consumers dedup by (a, b); star-vs-clique
+    * semantics as documented on [[nearDups]]). */
+  def embNearDupsVerified(embs: DataFrame, tables: Int, planes: Int, dims: Int,
+      minCosine: Double = 0.3, latenessMinutes: Int = 10): Dataset[EmbVerifiedOut] = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val horizonMs = latenessMinutes * 60 * 1000L
+    // the vector rides the bucket row itself (a join back against the
+    // stream would be a stream-stream join; this stays a stateless
+    // per-row projection like embBuckets, same corrupt-row filter)
+    graft.functions.GraftFunctions.register(spark)
+    embs.where(size(col("embedding")) === dims)
+      .select(col("vec_id"), col("embedding"), col("ts"),
+        posexplode(array((0 until tables).map(t =>
+          graft.ops.Similarity.sigColumn(t, planes, dims)): _*)).as(Seq("t", "sig")))
+      .select(col("vec_id"), col("embedding"), col("t"), col("sig"), col("ts"))
+      .withWatermark("ts", s"$latenessMinutes minutes")
+      .as[EmbVBucketRow]
+      .groupByKey(r => (r.t, r.sig))
+      .flatMapGroupsWithState[(Long, Long, Array[Float]), EmbVerifiedOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          founderFoldP[EmbVBucketRow, EmbVerifiedOut, Array[Float]](
+            horizonMs, _.vec_id, _.ts, _.embedding,
+            (r, founder, founderEmb, dup) =>
+              if (!dup) Iterator.empty
+              else {
+                val cos = cosine6(r.embedding, founderEmb)
+                if (cos >= minCosine)
+                  Iterator(EmbVerifiedOut(math.min(r.vec_id, founder),
+                    math.max(r.vec_id, founder), cos))
+                else Iterator.empty
+              })(rows, state)
       }
   }
 }

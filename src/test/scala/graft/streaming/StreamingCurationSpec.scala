@@ -94,6 +94,17 @@ class StreamingCurationSpec extends SparkSpec {
       assert(out(5L) === ((5L, false, "quality")))
       assert(out(6L) === ((6L, false, "repetition")))
       assert(out(7L) === ((7L, false, "contaminated")))
+      // the dropped-doc operational signal: cumulative docs_in vs
+      // verdicts_out from the query's observed metrics. 8 docs entered
+      // (incl. the watermark-flush doc), 7 verdicts closed — the gap IS
+      // the signal consumers watch (here the flush doc's still-open
+      // window; at the lateness horizon it would be a silent drop).
+      def metricSum(name: String, field: String): Long =
+        q.recentProgress.toSeq
+          .flatMap(p => Option(p.observedMetrics.get(name)))
+          .map(r => r.getLong(r.fieldIndex(field))).sum
+      assert(metricSum("graft_curation_in", "docs_in") === 8L)
+      assert(metricSum("graft_curation_out", "verdicts_out") === 7L)
     } finally q.stop()
 
     // the streaming reason priority is the BATCH priority: the same seven
@@ -110,6 +121,30 @@ class StreamingCurationSpec extends SparkSpec {
     val batch = Curation.keepSet(batchDocs, benchDf)
       .as[(Long, Boolean, String)].collect().map(r => r._1 -> r._3).toMap
     assert(batch === Map(1L -> "kept", 2L -> "exact_dup", 3L -> "near_dup",
+      4L -> "lang", 5L -> "quality", 6L -> "repetition", 7L -> "contaminated"))
+  }
+
+  test("keepSetBatch (the oracle twin) reproduces the streaming founder verdicts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docA = "the alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra"
+    val bench = "a zero one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    val benchDf = Seq((100L, bench)).toDF("doc_id", "text")
+    // same seven docs as the streaming test, arrival order = doc_id order
+    // (ts = timestamp_seconds(doc_id), the q_stream_keepset convention)
+    val docs = Seq(
+      (1L, docA), (2L, docA), (3L, docA + " tango"),
+      (4L, "der die das und ist zu im mit auf ein"),
+      (5L, "the a is to in"),
+      (6L, Seq.fill(5)("the cat sat on the mat").mkString(" ")),
+      (7L, bench)).toDF("doc_id", "text")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_seconds(col("doc_id")))
+    val got = StreamingCuration.keepSetBatch(docs, benchDf)
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(got === Map(1L -> "kept", 2L -> "exact_dup", 3L -> "near_dup",
       4L -> "lang", 5L -> "quality", 6L -> "repetition", 7L -> "contaminated"))
   }
 }

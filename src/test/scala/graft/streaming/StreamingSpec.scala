@@ -237,6 +237,85 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming VERIFIED simhash near-dups equal the batch operator's pair set") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1735689600000L
+    def ts(min: Int) = new Timestamp(t0 + min * 60000L)
+    // near-dup groups of size 2 (founder-star == clique there), plus
+    // unrelated docs: the verified streaming pair set must equal the batch
+    // operator's FULL output (candidates + bit_count verify), not just
+    // match candidates
+    val d1 = "the quick brown fox jumps over the lazy dog in the morning sun"
+    val d3 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val founders = Seq((1L, d1), (3L, d3))
+    val later = Seq(
+      (2L, d1),                                               // hamming 0
+      (4L, d3.replace("kappa", "kappa")),                     // small hamming
+      (5L, "completely unrelated text about database engines and storage"),
+      (6L, "another distinct document mentioning compilers and type systems"))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingNearDup.simhashNearDupsVerified(
+      in.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("shv_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(founders.map { case (id, t) => (id, t, ts(0)) })
+      q.processAllAvailable()
+      in.addData(later.map { case (id, t) => (id, t, ts(1)) })
+      q.processAllAvailable()
+      val streamed = spark.table("shv_out").distinct()
+        .as[(Long, Long, Int)].collect().toSet
+      val batchDocs = (founders ++ later).toDF("doc_id", "text")
+      val batch = graft.ops.TextDedup.simhashNearDups(batchDocs)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(streamed === batch, s"streamed $streamed != batch $batch")
+      assert(streamed.map(p => (p._1, p._2)).contains((1L, 2L)))
+      assert(streamed.forall(_._3 <= 3))
+    } finally q.stop()
+  }
+
+  test("streaming VERIFIED embedding near-dups equal batch embedNearDups at threshold") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1735689600000L
+    def ts(min: Int) = new Timestamp(t0 + min * 60000L)
+    val (tables, planes, dims) = (4, 5, 64)
+    val minCos = 0.9 // only the planted identical pairs qualify
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .orderBy($"vec_id").limit(6)
+      .select($"embedding").as[Seq[Float]].collect()
+    // ids 1/3 found their buckets at ts0; their identical twins 2/4 plus
+    // unrelated vectors arrive later
+    val founders = Seq((1L, base(0)), (3L, base(1)))
+    val later = Seq((2L, base(0)), (4L, base(1)), (5L, base(2)), (6L, base(3)))
+    val in = MemoryStream[(Long, Seq[Float], Timestamp)]
+    def asEmb(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", $"embedding".cast("array<float>"))
+    val q = StreamingNearDup.embNearDupsVerified(
+      asEmb(in.toDF().toDF("vec_id", "embedding", "ts")),
+      tables, planes, dims, minCosine = minCos)
+      .writeStream.format("memory").queryName("embv_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(founders.map { case (id, v) => (id, v, ts(0)) })
+      q.processAllAvailable()
+      in.addData(later.map { case (id, v) => (id, v, ts(1)) })
+      q.processAllAvailable()
+      val streamed = spark.table("embv_out").distinct()
+        .as[(Long, Long, Double)].collect().toSet
+      val batchEmb = asEmb((founders ++ later).toDF("vec_id", "embedding"))
+      val batch = graft.ops.Similarity.embedNearDups(batchEmb,
+        minCosine = minCos, tables = tables, planes = planes)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed === batch, s"streamed $streamed != batch $batch")
+      assert(streamed.map(p => (p._1, p._2)) === Set((1L, 2L), (3L, 4L)))
+      assert(streamed.forall(_._3 >= minCos))
+    } finally q.stop()
+  }
+
   test("stateless text-analysis ops run unchanged on a stream, batch-equal") {
     val spark2 = spark
     import spark2.implicits._
