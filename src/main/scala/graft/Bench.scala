@@ -67,6 +67,10 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  private def phasesJson(m: Map[String, Double]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
@@ -105,14 +109,97 @@ object Bench {
     (counter.get(), sec)
   }
 
-  /** Per-stage decomposition of the clustering job at one cluster size:
-    * (blocking sec, cc sec, greedy sec, cc jobs, greedy jobs). Blocking is
-    * the one-shot shuffle stage; CC and greedy are iterative (many small
-    * jobs — per-job fixed cost, not shuffle volume, bounds them at toy
-    * input). Candidates are materialized between stages so each timing
-    * isolates one stage. */
+  final case class ClusterStageTimes(block: Double, cc: Double, greedy: Double,
+      ccJobs: Int, greedyJobs: Int, greedyPhases: Map[String, Double])
+
+  /** Deterministic uniform in [-1, 1) from an md5 prefix — the same
+    * cross-engine-reproducible hash family the operators use. */
+  private def hashUnit(s: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 * 2.0 - 1.0
+  }
+
+  /** Synthetic embedding family for the recall-vs-n proof: clusters of
+    * `clusterSize` vectors around md5-derived centers with noise scaled so
+    * within-cluster cosine ~0.4 (the same separation regime as the driver
+    * corpus: |center|^2 ~ dims/3 uniform, |noise|^2 ~ noise^2 * dims/3 ->
+    * cos ~ 1/(1+noise^2) ~ 0.41 at noise 1.2). Cluster size is CONSTANT in
+    * n, so the neighbor structure is size-invariant and recall drift across
+    * n isolates the INDEX's behavior — exactly the self-scaling claim under
+    * test. Fully deterministic (pure function of (id, dim)), no external
+    * data. */
+  private def synthEmbeddings(spark: SparkSession, n: Int, dims: Int = 64,
+      clusterSize: Int = 20, noise: Double = 1.2): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).repartition(32).map { id =>
+      val c = id / clusterSize
+      val v = Array.tabulate(dims)(d =>
+        (hashUnit(s"c:$c:$d") + noise * hashUnit(s"v:$id:$d")).toFloat)
+      (id, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  final case class RecallPoint(n: Int, annRecall: Double, annSec: Double,
+      ivfRecall: Double, ivfSec: Double, nprobe: Int)
+
+  /** recall@5 of both self-scaling production indexes (auto-LSH, trained
+    * IVF at autoNprobe) at one corpus size of the synthetic family, against
+    * brute-force truth over a fixed 200-query sample (queries are scored
+    * against the WHOLE corpus on both sides; sampling queries keeps the
+    * brute truth linear in n instead of quadratic). Index build covers the
+    * full corpus — only the verify joins are query-restricted, which leaves
+    * per-query ranks unchanged. */
+  private def recallPoint(spark: SparkSession, n: Int): RecallPoint = {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = synthEmbeddings(spark, n).localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 200).localCheckpoint()
+    val e = emb.withColumn("nrm", expr("graft_norm_f(embedding)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val truth = queries.select(col("vec_id"), col("embedding").as("ea"))
+      .withColumn("na", expr("graft_norm_f(ea)"))
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("eb"), col("nrm").as("nb")))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(expr("graft_dot_f(ea, eb)") / (col("na") * col("nb")), 6))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("vec_id"), col("neighbor_id")).localCheckpoint()
+    val truthN = truth.count()
+    def recallOf(approx: DataFrame): Double =
+      truth.join(approx.select(col("vec_id"), col("neighbor_id")),
+        Seq("vec_id", "neighbor_id"), "left_semi").count().toDouble / truthN
+    // auto-LSH: candidate stage over the full corpus, verify restricted to
+    // pairs touching the query sample (a query's candidate set is intact)
+    var ann: DataFrame = null
+    val annSec = time {
+      val cand = ops.Similarity.annCandidates(emb)
+        .filter(col("a") < 200 || col("b") < 200)
+      ann = ops.Similarity.annTopK(emb, candDf = Some(cand))
+        .filter(col("vec_id") < 200).localCheckpoint()
+    }
+    var ivf: DataFrame = null
+    val ivfSec = time {
+      ivf = ops.Similarity.ivfTopKTrained(emb, queries = Some(queries))
+        .localCheckpoint()
+    }
+    RecallPoint(n, recallOf(ann), annSec, recallOf(ivf), ivfSec,
+      ops.Similarity.autoNprobe(ops.Similarity.autoNlist(n.toLong)))
+  }
+
+  /** Per-stage decomposition of the clustering job at one cluster size.
+    * Blocking is the one-shot shuffle stage; CC and greedy are iterative
+    * (many small jobs — per-job fixed cost, not shuffle volume, bounds
+    * them at toy input). Candidates are materialized between stages so
+    * each timing isolates one stage. EVERY stage is min-over-2 (the host
+    * shows multi-x straggler spikes on code-identical runs; round 4's
+    * unexplained greedy +59% was a single-shot measurement), and the
+    * greedy run reports its internal phase split (cc / prep / small /
+    * core / loner / attach) so a regression is attributable from the
+    * record. */
   private def clusterStages(spark: SparkSession, mentionsPath: String,
-      tokensPath: String): (Double, Double, Double, Int, Int) = {
+      tokensPath: String): ClusterStageTimes = {
     val m = spark.read.parquet(mentionsPath)
     val t = spark.read.parquet(tokensPath)
     // warm the page cache untimed: the FIRST cluster level measured would
@@ -120,16 +207,23 @@ object Bench {
     // asymmetric (observed as first-level stage times above second-level)
     force(t); force(m)
     val cand = pipeline.Blocking.candidates(t)
-    // min of 2: the one-shot blocking run occasionally hits a multi-x
-    // straggler on this host (observed 164s vs a 39s repeat in the same
-    // session); min is the standard interference-robust estimator
     val tBlock = Seq.fill(2)(time(force(cand))).min
     val candCk = cand.localCheckpoint()
-    val (ccJobs, tCc) = countJobs(spark)(
-      force(pipeline.ConnectedComponents.assignments(m, candCk)))
-    val (gJobs, tGreedy) = countJobs(spark)(
-      force(pipeline.GreedyClustering.assignments(m, t, candCk)))
-    (tBlock, tCc, tGreedy, ccJobs, gJobs)
+    val ccRuns = Seq.fill(2)(countJobs(spark)(
+      force(pipeline.ConnectedComponents.assignments(m, candCk))))
+    val (ccJobs, tCc) = ccRuns.minBy(_._2)
+    def greedyOnce(): (Int, Double, Map[String, Double]) = {
+      val phases = scala.collection.mutable.Map.empty[String, Double]
+      val (jobs, sec) = countJobs(spark)(
+        force(pipeline.GreedyClustering.assignments(m, t, candCk,
+          phaseSink = Some((n, s) => phases.synchronized {
+            phases(n) = phases.getOrElse(n, 0.0) + s
+          }))))
+      (jobs, sec, phases.toMap)
+    }
+    val gRuns = Seq.fill(2)(greedyOnce())
+    val (gJobs, tGreedy, gPhases) = gRuns.minBy(_._2)
+    ClusterStageTimes(tBlock, tCc, tGreedy, ccJobs, gJobs, gPhases)
   }
 
   /** Primary scaling job — the pairwise SCORING kernel (the north metric's
@@ -270,12 +364,38 @@ object Bench {
       val sec = time { df = ops.Similarity.ivfTopKTrained(emb, nprobe = 8).localCheckpoint() }
       (sec, recallOf(df))
     }
+    // the >256-centroid BROADCAST probe path (past inlineNlistCap the
+    // literal-inlined projection would stall planning, so production-sized
+    // corpora take this path; fixture-pinned row-identical, benched here):
+    // nlist forced to 300 on this corpus, nprobe 8 for comparability with
+    // the deterministic knob row
+    val ivfBcastNlist = 300
+    val ivfBcast = {
+      var df: DataFrame = null
+      val sec = time {
+        df = ops.Similarity.ivfTopK(emb, nlist = ivfBcastNlist, nprobe = 8)
+          .localCheckpoint()
+      }
+      (sec, recallOf(df))
+    }
+    val ivfTrainedNprobe =
+      ops.Similarity.autoNprobe(ops.Similarity.autoNlist(emb.count()))
+
+    // ---- recall-vs-n: the self-scaling claim measured across a 100x
+    // corpus-size range on the deterministic synthetic family (constant
+    // cluster size -> size-invariant neighbor structure; drift isolates
+    // the index). The production default (trained IVF at autoNprobe) must
+    // hold recall; the capped-LSH path's drift past its 64-table cap is
+    // the documented trade.
+    val recallVsN = sys.env.getOrElse("SPARK_GRAFT_RECALL_SIZES",
+        "500,2000,8000,50000")
+      .split(",").map(_.trim.toInt).toSeq.map(recallPoint(spark, _))
 
     // fidelity: production clustering vs the EXACT reference BFS
     // (maxComponentSize = infinity — single task per component, the
     // offline ground truth for the "match the reference's clusters"
     // contract). Runs on the session's cached stages.
-    val (fidelity, fidelityDiff) = {
+    val (fidelity, fidelityDiff, presetCluster) = {
       import org.apache.spark.sql.functions._
       val m = pipeline.Canonicalize.mentions(synth.Synth.transcripts(spark, sfDir)).localCheckpoint()
       val tk = pipeline.Tokenize.tokens(m).localCheckpoint()
@@ -295,7 +415,28 @@ object Bench {
           .select(col("mention_id"), col(out))
       val diff = normLbl(prod, "p").join(normLbl(exact, "x"), "mention_id")
         .filter(col("p") =!= col("x")).count()
-      (Seq("precision", "recall", "f1").map(c => c -> r.getAs[Double](c)).toMap, diff)
+      // preset e2e at bench scale: graft.Presets.clusterMentions (every
+      // valve on, from raw mentions) against the same exact ground truth —
+      // the "presets are semantically safe" claim measured at sf, not only
+      // spec-tested at toy size
+      var preset: DataFrame = null
+      val presetSec = time { preset = Presets.clusterMentions(m).localCheckpoint() }
+      val presetF1 = pipeline.Evaluation.pairwiseF1(preset, exactAsGold)
+        .collect().head.getAs[Double]("f1")
+      (Seq("precision", "recall", "f1").map(c => c -> r.getAs[Double](c)).toMap,
+        diff, (presetSec, presetF1))
+    }
+    val presetCurate = {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").localCheckpoint()
+      val benchC = docs.filter(col("doc_id") % 97 === 0)
+      val total = docs.count().toDouble
+      var ks: DataFrame = null
+      val sec = time { ks = Presets.curateDocuments(docs, benchC).localCheckpoint() }
+      val presetRate = ks.filter(col("keep")).count() / total
+      val exactRate = SparkEntry.queries("q_keep_set")(spark, sfDir)
+        .filter(col("keep")).count() / total
+      (sec, presetRate, exactRate)
     }
 
     // materialize tokens once for the scaling phases (untimed)
@@ -340,6 +481,26 @@ object Bench {
         .drop("r")
         .repartition(64)
         .write.mode("overwrite").parquet(scaledTokens64)
+    }
+    // 256x tokens for the MEASURED high-work blocking curve (the round-4
+    // one-off DebugBlock256 evidence, now recorded every round so the
+    // driver's JSON carries the measured 3-point executor curve, not a
+    // fit's prediction). SPARK_GRAFT_BLOCK256=0 skips it (it is the
+    // longest bench section); samples per level via SPARK_GRAFT_B256_SAMPLES.
+    val runB256 = sys.env.getOrElse("SPARK_GRAFT_BLOCK256", "1") == "1"
+    val b256Samples = sys.env.getOrElse("SPARK_GRAFT_B256_SAMPLES", "2").toInt
+    val K256 = 256
+    val scaledTokens256: String = tokensPath + s"_x$K256"
+    if (runB256) {
+      import org.apache.spark.sql.functions._
+      val r = spark.range(K256).toDF("r")
+      spark.read.parquet(tokensPath).crossJoin(r)
+        .withColumn("mention_id", col("mention_id") + col("r") * lit(1000000000L))
+        .withColumn("token", concat(col("token"), lit("~"), col("r")))
+        .withColumn("name", concat(col("name"), lit("~"), col("r")))
+        .drop("r")
+        .repartition(128)
+        .write.mode("overwrite").parquet(scaledTokens256)
     }
 
     // materialize the scored-pair set (distinct prefix-join pairs), then
@@ -432,6 +593,22 @@ object Bench {
     val stagesLo = inCluster(scaleN)(clusterStages(_, scaledMentions, scaledTokens))
     val b64LoSamples = inCluster(scaleN)(block64)
     val tBlock64Lo = b64LoSamples.min
+    // the measured 256x curve: 3 executor levels (N, 2N, 4N), fresh cluster
+    // per level, highest (cheapest) first so an interrupted run still
+    // yields data; min is the estimator, ALL samples are published
+    val b256Levels = Seq(scale4N, scaleN * 2, scaleN)
+    val b256: Map[Int, Seq[Double]] =
+      if (!runB256) Map.empty
+      else b256Levels.map { e =>
+        e -> inCluster(e) { s =>
+          force(s.read.parquet(scaledTokens256)) // warm page cache untimed
+          Seq.fill(b256Samples)(time(force(
+            pipeline.Blocking.candidates(s.read.parquet(scaledTokens256)))))
+        }
+      }.toMap
+    def b256Eff(eLo: Int, eHi: Int): Option[Double] =
+      for (lo <- b256.get(eLo); hi <- b256.get(eHi))
+        yield (lo.min / hi.min) / (eHi.toDouble / eLo)
     // Amdahl decomposition of the blocking stage from the four (work,
     // executors) points — T ~ F + s * (W/e): the per-run fixed cost F and
     // per-replica scalable unit s, fit by least squares, predict the
@@ -440,7 +617,7 @@ object Bench {
     // amortizable fixed cost" claim instead of asserting it.
     val (amdahlS, amdahlF) = {
       val pts = Seq(
-        (K.toDouble / scaleN, stagesLo._1), (K.toDouble / scale4N, stagesHi._1),
+        (K.toDouble / scaleN, stagesLo.block), (K.toDouble / scale4N, stagesHi.block),
         (K64.toDouble / scaleN, tBlock64Lo), (K64.toDouble / scale4N, tBlock64Hi))
       val n = pts.length
       val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
@@ -459,8 +636,8 @@ object Bench {
         amdahlEff(256.0) else (tBlock64Lo / tBlock64Hi) / 4.0
       math.max(0.0, math.min(1.2, raw))
     }
-    val tClusterHi = stagesHi._1 + stagesHi._2 + stagesHi._3
-    val tClusterLo = stagesLo._1 + stagesLo._2 + stagesLo._3
+    val tClusterHi = stagesHi.block + stagesHi.cc + stagesHi.greedy
+    val tClusterLo = stagesLo.block + stagesLo.cc + stagesLo.greedy
 
     val thrHi = pairsScored / tHi
     val thrLo = pairsScored / tLo
@@ -481,10 +658,10 @@ object Bench {
         s""""exec_cores":$execCores,"headline_cpus":$cpusHi,""" +
         s""""score_sec_lo":${f"$tLo%.3f"},"score_sec_hi":${f"$tHi%.3f"},""" +
         s""""cluster_sec_lo":${f"$tClusterLo%.3f"},"cluster_sec_hi":${f"$tClusterHi%.3f"},""" +
-        s""""block_sec_lo":${f"${stagesLo._1}%.3f"},"block_sec_hi":${f"${stagesHi._1}%.3f"},""" +
-        s""""cc_sec_lo":${f"${stagesLo._2}%.3f"},"cc_sec_hi":${f"${stagesHi._2}%.3f"},""" +
-        s""""greedy_sec_lo":${f"${stagesLo._3}%.3f"},"greedy_sec_hi":${f"${stagesHi._3}%.3f"},""" +
-        s""""cc_jobs":${stagesHi._4},"greedy_jobs":${stagesHi._5},""" +
+        s""""block_sec_lo":${f"${stagesLo.block}%.3f"},"block_sec_hi":${f"${stagesHi.block}%.3f"},""" +
+        s""""cc_sec_lo":${f"${stagesLo.cc}%.3f"},"cc_sec_hi":${f"${stagesHi.cc}%.3f"},""" +
+        s""""greedy_sec_lo":${f"${stagesLo.greedy}%.3f"},"greedy_sec_hi":${f"${stagesHi.greedy}%.3f"},""" +
+        s""""cc_jobs":${stagesHi.ccJobs},"greedy_jobs":${stagesHi.greedyJobs},""" +
         s""""block64_sec_lo":${f"$tBlock64Lo%.3f"},"block64_sec_hi":${f"$tBlock64Hi%.3f"},""" +
         s""""block64_efficiency":${f"${(tBlock64Lo / tBlock64Hi) / 4.0}%.3f"},""" +
         s""""block64_samples_lo":${b64LoSamples.map(v => f"$v%.3f").mkString("[", ",", "]")},""" +
@@ -492,6 +669,29 @@ object Bench {
         s""""block_amdahl_fixed_sec":${f"$amdahlF%.3f"},""" +
         s""""block_amdahl_unit_sec":${f"$amdahlS%.4f"},""" +
         s""""block256_pred_efficiency":${f"$predEff256%.3f"},""" +
+        b256Levels.sorted.flatMap(e => b256.get(e).map(ss =>
+          s""""block256_samples_${e}x":${ss.map(v => f"$v%.3f").mkString("[", ",", "]")},"""))
+          .mkString +
+        b256Eff(scaleN, scaleN * 2).map(v =>
+          s""""block256_eff_${scaleN}_${scaleN * 2}":${f"$v%.3f"},""").getOrElse("") +
+        b256Eff(scaleN * 2, scale4N).map(v =>
+          s""""block256_eff_${scaleN * 2}_$scale4N":${f"$v%.3f"},""").getOrElse("") +
+        b256Eff(scaleN, scale4N).map(v =>
+          s""""block256_eff_${scaleN}_$scale4N":${f"$v%.3f"},""").getOrElse("") +
+        s""""greedy_phases_hi":${phasesJson(stagesHi.greedyPhases)},""" +
+        s""""greedy_phases_lo":${phasesJson(stagesLo.greedyPhases)},""" +
+        s""""recall_vs_n":${recallVsN.map(p =>
+          s"""{"n":${p.n},"ann_recall":${f"${p.annRecall}%.4f"},"ann_sec":${f"${p.annSec}%.3f"},""" +
+            s""""ivf_recall":${f"${p.ivfRecall}%.4f"},"ivf_sec":${f"${p.ivfSec}%.3f"},"nprobe":${p.nprobe}}""")
+          .mkString("[", ",", "]")},""" +
+        s""""ivf_bcast_nlist":$ivfBcastNlist,"ivf_bcast_sec":${f"${ivfBcast._1}%.3f"},""" +
+        s""""ivf_bcast_recall":${f"${ivfBcast._2}%.4f"},""" +
+        s""""ivf_trained_nprobe":$ivfTrainedNprobe,""" +
+        s""""preset_cluster_sec":${f"${presetCluster._1}%.3f"},""" +
+        s""""preset_fidelity_f1":${f"${presetCluster._2}%.6f"},""" +
+        s""""preset_curate_sec":${f"${presetCurate._1}%.3f"},""" +
+        s""""preset_keep_rate":${f"${presetCurate._2}%.4f"},""" +
+        s""""exact_keep_rate":${f"${presetCurate._3}%.4f"},""" +
         s""""ann_recall_at5":${f"$annRecall%.4f"},"ivf_recall_at5":${f"$ivfRecall%.4f"},""" +
         s""""ann_knob_sec":${f"${annKnob._1}%.3f"},"ann_knob_recall":${f"${annKnob._2}%.4f"},""" +
         s""""ivf_knob_sec":${f"${ivfKnob._1}%.3f"},"ivf_knob_recall":${f"${ivfKnob._2}%.4f"},""" +
@@ -591,11 +791,24 @@ object Bench {
          |
          || stage | $scaleN-exec sec | $scale4N-exec sec | efficiency | Spark jobs |
          || --- | --- | --- | --- | --- |
-         || blocking (one-shot shuffle) | ${f"${stagesLo._1}%.3f"} | ${f"${stagesHi._1}%.3f"} | ${f"${(stagesLo._1 / stagesHi._1) / 4.0}%.3f"} | few |
-         || connected components (iterative) | ${f"${stagesLo._2}%.3f"} | ${f"${stagesHi._2}%.3f"} | ${f"${(stagesLo._2 / stagesHi._2) / 4.0}%.3f"} | ${stagesHi._4} |
-         || greedy clustering (iterative) | ${f"${stagesLo._3}%.3f"} | ${f"${stagesHi._3}%.3f"} | ${f"${(stagesLo._3 / stagesHi._3) / 4.0}%.3f"} | ${stagesHi._5} |
+         || blocking (one-shot shuffle) | ${f"${stagesLo.block}%.3f"} | ${f"${stagesHi.block}%.3f"} | ${f"${(stagesLo.block / stagesHi.block) / 4.0}%.3f"} | few |
+         || connected components (iterative) | ${f"${stagesLo.cc}%.3f"} | ${f"${stagesHi.cc}%.3f"} | ${f"${(stagesLo.cc / stagesHi.cc) / 4.0}%.3f"} | ${stagesHi.ccJobs} |
+         || greedy clustering (iterative) | ${f"${stagesLo.greedy}%.3f"} | ${f"${stagesHi.greedy}%.3f"} | ${f"${(stagesLo.greedy / stagesHi.greedy) / 4.0}%.3f"} | ${stagesHi.greedyJobs} |
          |
-         |The iterative stages run ${stagesHi._4 + stagesHi._5} sequential
+         |Every stage above is min-over-2 runs, and the greedy stage's
+         |internal phase split (its own CC pass / table prep / small-comp
+         |exact clustering / strong-core / loner chaining / attach rounds)
+         |is recorded per level so a stage regression is attributable from
+         |the round record alone:
+         |
+         || greedy phase | $scaleN-exec sec | $scale4N-exec sec |
+         || --- | --- | --- |
+         |${Seq("cc", "prep", "small", "core", "loner", "attach").map(p =>
+             s"| $p | ${f"${stagesLo.greedyPhases.getOrElse(p, 0.0)}%.3f"} | " +
+               s"${f"${stagesHi.greedyPhases.getOrElse(p, 0.0)}%.3f"} |")
+             .mkString("\n         |")}
+         |
+         |The iterative stages run ${stagesHi.ccJobs + stagesHi.greedyJobs} sequential
          |Spark jobs (loop rounds x actions): each pays scheduler, barrier
          |and result-fetch latency that is CONSTANT in executor count, so at
          |toy per-round data volumes those stages cannot show executor
@@ -618,7 +831,7 @@ object Bench {
          || --- | --- | --- | --- |
          || ${K64}x tokens | ${f"$tBlock64Lo%.3f"} ${b64LoSamples.map(v => f"$v%.1f").mkString("(", " / ", ")")} | ${f"$tBlock64Hi%.3f"} ${b64HiSamples.map(v => f"$v%.1f").mkString("(", " / ", ")")} | **${f"${(tBlock64Lo / tBlock64Hi) / 4.0}%.3f"}** |
          |
-         |Efficiency grows with work (${f"${(stagesLo._1 / stagesHi._1) / 4.0}%.2f"}
+         |Efficiency grows with work (${f"${(stagesLo.block / stagesHi.block) / 4.0}%.2f"}
          |at 16x -> ${f"${(tBlock64Lo / tBlock64Hi) / 4.0}%.2f"} at ${K64}x on
          |the same cluster pair), and the ${K64}x point's run-to-run band
          |across the four independent round-4 records is 0.71-1.01 — it
@@ -628,26 +841,40 @@ object Bench {
          |s = ${f"$amdahlS%.2f"}s/replica — predicted efficiency at 256x
          |work: **${f"$predEff256%.3f"}**.
          |
-         |That 256x prediction was then MEASURED directly (one-off evidence
-         |run, 2026-08-17, `Test/runMain graft.DebugBlock256 sf0.1 256
-         |2,4,8` — same methodology, fresh cluster per level, 3 samples,
-         |min estimator): 2 exec 710.9s (740.4/837.2/710.9), 4 exec 343.7s
-         |(343.7/455.9/547.8), 8 exec 231.7s (233.0/278.1/231.7). The
-         |3-point executor curve separates the causes: **2 -> 4 executors
-         |scales at 1.03** — the per-run fixed cost has fully amortized,
-         |exactly as the fit predicts — while **4 -> 8 drops to 0.74**
-         |(2 -> 8 = 0.77). The residual is therefore NOT stage fixed cost
-         |but the sandbox host itself: past ~4 concurrent executor JVMs the
-         |shuffle-bound stage saturates the single machine's shared memory
-         |bus / tmpfs bandwidth, while the compute-bound scoring kernel —
-         |which moves 40x less shuffle data per scored pair — clears the
-         |0.8 contract in the SAME 8-JVM configuration in every round-4
-         |record (0.90-1.23 across the five runs). On a
-         |real cluster each added node brings its own disks, NICs and
+         |${if (b256.isEmpty)
+             s"""The 256x measured curve was SKIPPED this run
+         |(SPARK_GRAFT_BLOCK256=0); see a prior round's record for the
+         |measured evidence."""
+           else
+             s"""That prediction is MEASURED in THIS RUN at ${K256}x work —
+         |a 3-point executor curve, fresh cluster per level, $b256Samples
+         |samples each, min estimator, all samples recorded in the round
+         |JSON (block256_samples_*):
+         |
+         || executors | sec (samples) | efficiency from previous level |
+         || --- | --- | --- |
+         |${b256Levels.sorted.map { e =>
+               val ss = b256(e)
+               val eff = if (e == scaleN) "-" else
+                 b256Eff(if (e == scale4N) scaleN * 2 else scaleN, e)
+                   .map(v => f"$v%.3f").getOrElse("-")
+               s"| $e | ${f"${ss.min}%.1f"} ${ss.map(v => f"$v%.1f").mkString("(", " / ", ")")} | $eff |"
+             }.mkString("\n         |")}
+         |
+         |(2 -> 8 overall: ${b256Eff(scaleN, scale4N).map(v => f"$v%.3f").getOrElse("-")}.)
+         |The 3-point curve separates the causes: when $scaleN -> ${scaleN * 2}
+         |executors scales near 1.0 the per-run fixed cost has fully
+         |amortized, exactly as the fit predicts, and any residual drop at
+         |${scaleN * 2} -> $scale4N is the sandbox host itself — past ~4
+         |concurrent executor JVMs the shuffle-bound stage saturates the
+         |single machine's shared memory bus / tmpfs bandwidth, while the
+         |compute-bound scoring kernel (40x less shuffle data per scored
+         |pair) clears the 0.8 contract in the SAME 8-JVM configuration.
+         |On a real cluster each added node brings its own disks, NICs and
          |memory bus (the resource this one-host sandbox cannot add), so
          |the kernel carries the N -> 4N throughput contract and the
          |blocking stage is evidenced clean to the host's 4-JVM I/O
-         |ceiling.
+         |ceiling."""}
          |
          |## ANN index quality (tracked per round)
          |
@@ -658,16 +885,37 @@ object Bench {
          |
          |Both indexes now self-scale: LSH planes track log2(n) (expected
          |bucket ~16 at any corpus size) with tables scaled to hold recall
-         |and the hot-bucket cap ON by default; IVF cells track sqrt(n).
+         |and the hot-bucket cap ON by default; IVF cells track sqrt(n)
+         |WITH the recall-holding probe rule nprobe = ceil(nlist/2)
+         |(autoNprobe — holds the probed fraction of the calibrated
+         |nlist=16/nprobe=8 point as cells grow; round 4 shipped a fixed
+         |nprobe 4 here, which decayed recall to 0.405 as nlist grew).
          |
          || path | recall@5 | sec |
          || --- | --- | --- |
          || RH-LSH, auto planes/tables + cap (q_ann_topk defaults) | ${f"$annRecall%.4f"} | ${f"${opsTimes.toMap.getOrElse("q_ann_topk", 0.0)}%.3f"} |
          || RH-LSH, 12 tables at auto planes (knob — cheaper, lower recall) | ${f"${annKnob._2}%.4f"} | ${f"${annKnob._1}%.3f"} |
-         || IVF-flat, deterministic centroids (q_ivf_topk, nprobe 4) | ${f"$ivfRecall%.4f"} | ${f"${opsTimes.toMap.getOrElse("q_ivf_topk", 0.0)}%.3f"} |
+         || IVF-flat, deterministic centroids (q_ivf_topk, auto nprobe $ivfTrainedNprobe) | ${f"$ivfRecall%.4f"} | ${f"${opsTimes.toMap.getOrElse("q_ivf_topk", 0.0)}%.3f"} |
          || IVF-flat, deterministic, nprobe 8 (knob) | ${f"${ivfKnob._2}%.4f"} | ${f"${ivfKnob._1}%.3f"} |
-         || IVF-flat, KMEANS-TRAINED cells, nprobe 4 (production default) | ${f"${ivfTrained._2}%.4f"} | ${f"${ivfTrained._1}%.3f"} |
-         || IVF-flat, KMeans-trained, nprobe 8 | ${f"${ivfTrained8._2}%.4f"} | ${f"${ivfTrained8._1}%.3f"} |
+         || IVF-flat, KMEANS-TRAINED cells, auto nprobe $ivfTrainedNprobe (PRODUCTION DEFAULT, Presets.annTopK) | ${f"${ivfTrained._2}%.4f"} | ${f"${ivfTrained._1}%.3f"} |
+         || IVF-flat, KMeans-trained, nprobe 8 (knob) | ${f"${ivfTrained8._2}%.4f"} | ${f"${ivfTrained8._1}%.3f"} |
+         || IVF-flat, nlist=$ivfBcastNlist > inlineNlistCap (BROADCAST probe path), nprobe 8 | ${f"${ivfBcast._2}%.4f"} | ${f"${ivfBcast._1}%.3f"} |
+         |
+         |### Recall vs corpus size (the self-scaling proof)
+         |
+         |recall@5 of both production paths across a 100x corpus-size range
+         |of the deterministic synthetic family (constant cluster size ->
+         |size-invariant neighbor structure; 200-query sample vs brute
+         |truth). The production default (trained IVF at autoNprobe) must
+         |hold recall as n grows; the LSH path degrades gracefully past its
+         |64-table cap by design (IVF is the designated handoff):
+         |
+         || n | LSH auto recall@5 | LSH sec | IVF trained recall@5 | IVF sec | auto nprobe |
+         || --- | --- | --- | --- | --- | --- |
+         |${recallVsN.map(p =>
+             s"| ${p.n} | ${f"${p.annRecall}%.4f"} | ${f"${p.annSec}%.3f"} | " +
+               s"${f"${p.ivfRecall}%.4f"} | ${f"${p.ivfSec}%.3f"} | ${p.nprobe} |")
+             .mkString("\n         |")}
          |
          |The knobs buy recall linearly in index work while preserving the
          |bucketed (non-quadratic) plan shape — the tradeoff a 100-TB run
@@ -680,6 +928,17 @@ object Bench {
          |better at the same knobs. The trained-IVF path is the benched
          |production default; the LSH path stays the right shape for
          |streaming/dedup-flavoured workloads.
+         |
+         |## Preset end-to-end at this sf (valve-on vs exact)
+         |
+         |The production entry points (graft.Presets) with every scale
+         |valve armed, against the exact paths on the same input — the
+         |"presets are semantically safe" claim measured at bench scale:
+         |
+         || preset | sec | quality vs exact |
+         || --- | --- | --- |
+         || Presets.clusterMentions (capped blocking + bounded greedy) | ${f"${presetCluster._1}%.3f"} | pairwise F1 vs exact clusters: **${f"${presetCluster._2}%.6f"}** |
+         || Presets.curateDocuments (capped LSH chain) | ${f"${presetCurate._1}%.3f"} | keep rate ${f"${presetCurate._2}%.4f"} vs exact ${f"${presetCurate._3}%.4f"} |
          |
          |## spark-submit launch path
          |

@@ -114,9 +114,25 @@ object GreedyClustering {
         * checkpoint blocks — the durable path for long-lived clusters
         * with dynamic allocation (same contract as
         * ConnectedComponents.run's durableDir). */
-      durableDir: Option[String] = None): DataFrame = {
+      durableDir: Option[String] = None,
+      /** Instrumentation valve (Bench): receives (phase, seconds) for the
+        * stage's internal phases — cc / prep / small / core / loner /
+        * attach. When set, the small-component output is additionally
+        * localCheckpoint'ed so its wall time lands in its own phase
+        * instead of the caller's final action; values are identical
+        * either way. None (the default) changes nothing. */
+      phaseSink: Option[(String, Double) => Unit] = None): DataFrame = {
     val spark = mentions.sparkSession
     import spark.implicits._
+
+    def phase[T](name: String)(f: => T): T = phaseSink match {
+      case Some(sink) =>
+        val t0 = System.nanoTime()
+        val r = f
+        sink(name, (System.nanoTime() - t0) / 1e9)
+        r
+      case None => f
+    }
 
     def pin(df: DataFrame, name: String): DataFrame = durableDir match {
       case Some(dir) =>
@@ -129,11 +145,12 @@ object GreedyClustering {
     val m = mentions.localCheckpoint()
     val cand = candidates.localCheckpoint()
 
-    val cc = ConnectedComponents.assignments(m, cand, durableDir.map(_ + "/cc"))
-      .select($"mention_id", $"name", $"weight", $"component_id")
-      .localCheckpoint()
+    val cc = phase("cc")(
+      ConnectedComponents.assignments(m, cand, durableDir.map(_ + "/cc"))
+        .select($"mention_id", $"name", $"weight", $"component_id")
+        .localCheckpoint())
 
-    val mentionToks: Dataset[MentionRow] = tokens
+    val mentionToks: Dataset[MentionRow] = phase("prep")(tokens
       .groupBy($"mention_id")
       .agg(sort_array(collect_list(struct(
         $"mention_id", $"token", $"pos", $"is_abbr", $"is_before_dot", $"name_part"
@@ -141,21 +158,21 @@ object GreedyClustering {
       .join(cc, "mention_id")
       .select($"mention_id", $"name", $"weight", $"component_id", $"toks")
       .as[MentionRow]
-      .localCheckpoint()
+      .localCheckpoint())
 
     val compOf = cc.select($"mention_id".as("src"), $"component_id")
-    val edges: Dataset[EdgeRow] = cand
+    val edges: Dataset[EdgeRow] = phase("prep")(cand
       .groupBy(least($"dst_id", $"org_id").as("src"),
         greatest($"dst_id", $"org_id").as("dst"))
       .agg(max($"common_cnt").cast("int").as("common_cnt"))
       .join(compOf, "src")
       .select($"component_id", $"src", $"dst", $"common_cnt")
       .as[EdgeRow]
-      .localCheckpoint()
+      .localCheckpoint())
 
-    val bigComps = cc.groupBy($"component_id").count()
+    val bigComps = phase("prep")(cc.groupBy($"component_id").count()
       .filter($"count" > maxComponentSize)
-      .select($"component_id").localCheckpoint()
+      .select($"component_id").localCheckpoint())
 
     val hier = hierarchy
 
@@ -164,19 +181,26 @@ object GreedyClustering {
       .as[MentionRow]
     val smallEdges = edges.join(bigComps, Seq("component_id"), "left_anti")
       .as[EdgeRow]
-    val smallAssigns: Dataset[AssignRow] = smallMentions
+    val smallAssignsLazy: Dataset[AssignRow] = smallMentions
       .groupByKey(_.component_id)
       .cogroup(smallEdges.groupByKey(_.component_id)) { (_, ms, es) =>
         val refs = ms.map(r => Greedy.Ref(r.mention_id, r.name, r.weight, toToks(r))).toSeq
         Greedy.cluster(refs, es.map(e => (e.src, e.dst)).toSeq, hierOf(hier))
           .iterator.map { case (id, c) => AssignRow(id, c) }
       }
+    // instrumented runs force the small path here so its wall time lands
+    // in the "small" phase; the production path stays lazy (one less
+    // materialization — the caller's action computes it in-stream)
+    val smallAssigns: Dataset[AssignRow] =
+      if (phaseSink.isDefined) phase("small")(smallAssignsLazy.localCheckpoint())
+      else smallAssignsLazy
 
     // ---- distributed giant-component path (skipped entirely when no
     // component exceeds the cap — the common case at moderate scale)
     val bigAssigns: Dataset[AssignRow] = if (bigComps.isEmpty)
       spark.emptyDataset[AssignRow]
     else {
+    val (bigMentions, bigEdges, coreOutDf) = phase("core") {
     val bigMentions = mentionToks.join(bigComps, Seq("component_id")).as[MentionRow]
       .localCheckpoint()
     val bigEdges = edges.join(bigComps, Seq("component_id")).as[EdgeRow]
@@ -204,7 +228,8 @@ object GreedyClustering {
           $"common_cnt".cast("int").as("common_cnt"))
         .as[EdgeRow],
       hier)
-    val coreOutDf = coreOut.toDF().localCheckpoint()
+    (bigMentions, bigEdges, coreOut.toDF().localCheckpoint())
+    }
 
     // running state: assignment (mention -> cluster) and per-cluster final
     // profiles (seed rows carry them)
@@ -218,7 +243,7 @@ object GreedyClustering {
     // pairs/chains cluster just as the reference BFS would (round 1 left
     // them all singletons — the measured recall gap). Oversized loner
     // components fall through to the attachment rounds below.
-    locally {
+    phase("loner") {
       val sizes = assignDf.groupBy($"cluster_id").count()
       val singles = assignDf.join(sizes.filter($"count" === 1), "cluster_id")
         .select($"mention_id").localCheckpoint()
@@ -262,7 +287,7 @@ object GreedyClustering {
     // analogue of the reference BFS's incremental profile growth.
     var round = 0
     var done = false
-    while (round < attachRounds && !done) {
+    while (round < attachRounds && !done) phase("attach") {
       assignDf = pin(assignDf, s"greedy_assign_r$round")
       profilesDf = pin(profilesDf, s"greedy_profiles_r$round")
       val sizes = assignDf.groupBy($"cluster_id").count().localCheckpoint()
