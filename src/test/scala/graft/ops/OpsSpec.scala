@@ -178,6 +178,24 @@ class OpsSpec extends SparkSpec {
     assert(!bcastCorrupt.exists(r => r.getLong(0) >= 9001L))
   }
 
+  test("autoNprobe holds the probed fraction as nlist grows, capped at 128") {
+    import graft.ops.Similarity.{autoNprobe, autoNlist}
+    assert(autoNprobe(16) === 8)     // the calibrated operating point
+    assert(autoNprobe(22) === 11)    // sf0.01: nlist 22 -> fraction held
+    assert(autoNprobe(44) === 22)    // sf0.1
+    assert(autoNprobe(223) === 112)  // ~50k vectors, still under the cap
+    assert(autoNprobe(1000) === 128) // past the cap: graceful recall trade
+    assert(autoNprobe(1) === 4)      // floor
+    // the default (nprobe = 0) resolves through the rule: one probe row
+    // per (vector, rank 1..autoNprobe(nlist))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val probes = Similarity.ivfProbes(emb)
+    val expected = autoNprobe(autoNlist(n))
+    assert(probes.count() === n * expected)
+    assert(probes.agg(max($"probe_rank")).as[Int].head() === expected)
+  }
+
   test("empty embeddings frame: index entry points return empty, not NPE") {
     val empty = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .where(lit(false))
