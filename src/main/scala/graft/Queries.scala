@@ -286,6 +286,42 @@ object Queries {
         TextAnalysis.ctes))
     ),
 
+    // ---- training-data ops: dataset assembly (sampling / mixing /
+    // packing) over `documents`. The strata fraction and mix weight tables
+    // derive their values from the source's numeric suffix so the DuckDB
+    // oracle reproduces them in pure SQL (Sampling.ctes mirrors both
+    // formulas with ::DOUBLE literals — IEEE-identical arithmetic).
+    "q_sample_stratified" -> (
+      ((s: SparkSession, dir: String) => {
+        val docs = documents(s, dir)
+        val fractions = docs.select(col("source")).distinct()
+          .withColumn("fraction", lit(0.15) + lit(0.17) *
+            (substring(col("source"), 4, 10).cast("int") % 5))
+        graft.ops.Sampling.stratifiedSample(docs, fractions)
+      }),
+      Some(rawCtes("SELECT doc_id, source, u FROM sample_stratified",
+        TextAnalysis.ctes, graft.ops.Sampling.ctes))
+    ),
+    "q_corpus_mix" -> (
+      ((s: SparkSession, dir: String) => {
+        val docs = documents(s, dir)
+        val weights = docs.select(col("source")).distinct()
+          .withColumn("weight",
+            (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("double"))
+        graft.ops.Sampling.corpusMix(docs, weights)
+      }),
+      Some(rawCtes("SELECT doc_id, source, fraction FROM corpus_mix",
+        TextAnalysis.ctes, graft.ops.Sampling.ctes))
+    ),
+    "q_pack_sequences" -> (
+      ((s: SparkSession, dir: String) =>
+        graft.ops.Sampling.packSequences(documents(s, dir))),
+      Some(rawCtes(
+        """SELECT doc_id, n_tokens, cum_tokens, pack_id, pack_offset
+          |FROM pack_sequences""".stripMargin,
+        TextAnalysis.ctes, graft.ops.Sampling.ctes))
+    ),
+
     // ---- training-data ops: multimodal binary plumbing.
     "q_media_features" -> (
       ((s: SparkSession, dir: String) =>

@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling, mixing and sequence packing — the
+  * dataset-assembly operators a pretraining pipeline runs after curation
+  * (keep/drop verdicts) to turn a cleaned document pool into a training
+  * mix: per-stratum subsampling, target-proportion mixing across sources,
+  * and concatenate-and-chunk sequence packing into fixed token budgets.
+  *
+  * Everything is hash-deterministic (no `rand()`): the keep decision for a
+  * document is a pure function of (doc_id, salt), so reruns, retries and
+  * resumed checkpoints reproduce the identical sample — the property a
+  * training-data pipeline needs for lineage, and what makes every operator
+  * here oracle-checkable in DuckDB (same md5 → same verdict).
+  *
+  * Scale shape (100 TB):
+  *   - [[stratifiedSample]] is ONE scan + a broadcast join against the
+  *     per-stratum fraction table (strata counts are small by definition) —
+  *     no shuffle of the corpus, trivially parallel at any executor count.
+  *   - [[corpusMix]] adds one map-side-combined groupBy(source) count (rows
+  *     = #strata) before the same broadcast-join scan — two scans total, no
+  *     corpus shuffle.
+  *   - [[packSequences]] is the classic two-phase distributed prefix sum:
+  *     per-range-bucket partial sums (map-side combine, ≤ `nBuckets` rows),
+  *     a window over that driver-bounded frame to get bucket offsets, then
+  *     a window PARTITIONED BY bucket for the within-bucket running sum —
+  *     parallel across buckets; no single-partition window ever touches the
+  *     corpus itself.
+  */
+object Sampling {
+
+  /** Uniform hash u ∈ [0,1): first 8 hex chars of md5("<key>:<salt>") read
+    * as a 32-bit int over 2^32. Exact in IEEE double (numerator < 2^32,
+    * denominator a power of two), so Spark and DuckDB agree bit-for-bit:
+    * DuckDB spells it ('0x' || substr(md5(k),1,8))::BIGINT / 4294967296.0. */
+  def hashU(key: Column, salt: String): Column =
+    conv(substring(md5(concat_ws(":", key.cast("string"), lit(salt))), 1, 8),
+      16, 10).cast("double") / lit(4294967296.0)
+
+  /** Per-stratum deterministic subsample: keep a document iff its hash-u is
+    * below its stratum's fraction. `fractions` is a tiny (stratum, fraction)
+    * table — broadcast-joined, so the corpus never shuffles; a stratum
+    * absent from `fractions` is dropped (inner join), fraction ≥ 1.0 keeps
+    * the whole stratum (u < 1 always).
+    *
+    * Output: (doc_id, source, u) — u rounded to 6 dp for the value-hash
+    * compare convention (Queries.scala:11). */
+  def stratifiedSample(documents: DataFrame, fractions: DataFrame,
+      salt: String = "graft"): DataFrame =
+    documents
+      .withColumn("u", hashU(col("doc_id"), salt))
+      .join(broadcast(fractions), Seq("source"))
+      .filter(col("u") < col("fraction"))
+      .select(col("doc_id"), col("source"), round(col("u"), 6).as("u"))
+
+  /** Target-proportion corpus mixing: given per-source target weights w_s
+    * (any positive scale), find the LARGEST total sample T that honors the
+    * proportions without oversampling any source — T = min_s(n_s / w_s)
+    * over w_s > 0 (the bottleneck source is taken whole) — then
+    * hash-subsample each source at fraction_s = w_s · T / n_s. The standard
+    * "mix web/books/code at fixed ratios without replacement" step of
+    * training-data assembly.
+    *
+    * The per-source counts aggregate to #strata rows (map-side combined);
+    * everything after is the [[stratifiedSample]] broadcast scan.
+    *
+    * Output: (doc_id, source, fraction) — fraction rounded to 6 dp. */
+  def corpusMix(documents: DataFrame, weights: DataFrame,
+      salt: String = "graft"): DataFrame = {
+    // materialized once: #strata rows, consumed by both capacity and
+    // fractions — without this the corpus count scan would run twice
+    val counts = documents.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val capacity = counts.join(broadcast(weights), Seq("source"))
+      .filter(col("weight") > 0)
+      .select(min(col("n") / col("weight")).as("t"))
+    val fractions = counts.join(broadcast(weights), Seq("source"))
+      .filter(col("weight") > 0)
+      .crossJoin(broadcast(capacity))
+      .select(col("source"),
+        least(lit(1.0), col("weight") * col("t") / col("n")).as("fraction"))
+    documents
+      .withColumn("u", hashU(col("doc_id"), salt))
+      .join(broadcast(fractions), Seq("source"))
+      .filter(col("u") < col("fraction"))
+      .select(col("doc_id"), col("source"),
+        round(col("fraction"), 6).as("fraction"))
+  }
+
+  /** Concatenate-and-chunk sequence packing: documents are laid out in
+    * doc_id order and cut every `budget` tokens — the GPT-style pretraining
+    * packing where a document may span a chunk boundary. Emits, per doc,
+    * the global token prefix sum and its pack coordinates:
+    *   pack_id     = (cum_tokens - n_tokens) / budget   (chunk the doc STARTS in)
+    *   pack_offset = (cum_tokens - n_tokens) % budget   (position within it)
+    *
+    * The global running sum is the two-phase scan described in the object
+    * Scaladoc: doc_ids are range-bucketed into ≤ `nBuckets` buckets via one
+    * min/max aggregate (no sampling, fully deterministic), bucket subtotals
+    * are prefix-summed on a driver-bounded frame (≤ nBuckets rows — the
+    * only unpartitioned window, and it never sees corpus rows), and each
+    * bucket computes its interior running sum in parallel. Dense ids give
+    * balanced buckets; wildly skewed id spaces should pre-normalize ids
+    * (zipWithIndex-style) before packing.
+    *
+    * Output: (doc_id, n_tokens, cum_tokens, pack_id, pack_offset). */
+  def packSequences(documents: DataFrame, budget: Long = 512,
+      nBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokenCounts(documents)
+      .select(col("doc_id"), col("bpe_tokens").as("n_tokens"))
+    val Array(mn, mx) = toks.agg(min(col("doc_id")), max(col("doc_id")))
+      .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+    val width = math.max(1L, (mx - mn) / nBuckets + 1)
+    val bucketed = toks.withColumn("bkt", ((col("doc_id") - mn) / width).cast("long"))
+    // ≤ nBuckets rows: driver-bounded metadata, the scan's phase-1 output
+    val offsets = bucketed.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bs"))
+      .withColumn("off", coalesce(
+        sum(col("bs")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val local = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cum_tokens", col("off") + sum(col("n_tokens")).over(local))
+      .withColumn("pack_id", ((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
+      .withColumn("pack_offset", (col("cum_tokens") - col("n_tokens")) % budget)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        col("pack_id"), col("pack_offset"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB CTEs over the driver-registered `documents` view. The strata /
+    * weight tables of the test queries derive fraction and weight from the
+    * source's numeric suffix so the oracle reproduces them in pure SQL;
+    * `token_counts` comes from [[TextAnalysis.ctes]] (compose after it). */
+  val ctes: String =
+    """doc_u AS (
+      |  SELECT doc_id, source,
+      |         ('0x' || substr(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT
+      |           / 4294967296.0::DOUBLE AS u
+      |  FROM documents
+      |),
+      |strata_fractions AS (
+      |  SELECT source,
+      |         0.15::DOUBLE + 0.17::DOUBLE * (substr(source, 4)::INT % 5) AS fraction
+      |  FROM (SELECT DISTINCT source FROM documents)
+      |),
+      |sample_stratified AS (
+      |  SELECT doc_id, source, round(u, 6) AS u
+      |  FROM doc_u JOIN strata_fractions USING (source)
+      |  WHERE u < fraction
+      |),
+      |mix_weights AS (
+      |  SELECT source, (substr(source, 4)::INT % 3 + 1)::DOUBLE AS weight
+      |  FROM (SELECT DISTINCT source FROM documents)
+      |),
+      |mix_counts AS (
+      |  SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1
+      |),
+      |mix_capacity AS (
+      |  SELECT min(n / weight) AS t
+      |  FROM mix_counts JOIN mix_weights USING (source) WHERE weight > 0
+      |),
+      |mix_fractions AS (
+      |  SELECT source, least(1.0::DOUBLE, weight * t / n) AS fraction
+      |  FROM mix_counts JOIN mix_weights USING (source), mix_capacity
+      |  WHERE weight > 0
+      |),
+      |corpus_mix AS (
+      |  SELECT doc_id, source, round(fraction, 6) AS fraction
+      |  FROM doc_u JOIN mix_fractions USING (source)
+      |  WHERE u < fraction
+      |),
+      |pack_sequences AS (
+      |  SELECT doc_id, bpe_tokens AS n_tokens,
+      |         (sum(bpe_tokens) OVER w)::BIGINT AS cum_tokens,
+      |         ((sum(bpe_tokens) OVER w - bpe_tokens) // 512)::BIGINT AS pack_id,
+      |         ((sum(bpe_tokens) OVER w - bpe_tokens) % 512)::BIGINT AS pack_offset
+      |  FROM token_counts
+      |  WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |)""".stripMargin
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+
+  private def corpus(n: Int, src: Long => String) =
+    docs((0L until n.toLong).map(i => (i, s"doc $i body", src(i))): _*)
+
+  test("hashU: deterministic, uniform-ish, in [0,1)") {
+    val d = corpus(2000, _ => "s")
+    val us = d.select(Sampling.hashU($"doc_id", "graft").as("u"))
+      .as[Double].collect()
+    assert(us.forall(u => u >= 0.0 && u < 1.0))
+    val us2 = d.select(Sampling.hashU($"doc_id", "graft").as("u"))
+      .as[Double].collect()
+    assert(us.toSeq === us2.toSeq) // pure function of (doc_id, salt)
+    val mean = us.sum / us.length
+    assert(math.abs(mean - 0.5) < 0.03, s"mean $mean far from uniform")
+    // a different salt draws an (almost entirely) different sample
+    val usB = d.select(Sampling.hashU($"doc_id", "other").as("u")).as[Double].collect()
+    assert(us.zip(usB).count { case (a, b) => a == b } < 3)
+  }
+
+  test("stratifiedSample: per-stratum fractions honored, 1.0 total, 0.0 empty") {
+    val d = corpus(3000, i => s"src${i % 3}") // 1000 docs per stratum
+    val fractions = Seq(("src0", 1.0), ("src1", 0.4), ("src2", 0.0))
+      .toDF("source", "fraction")
+    val by = Sampling.stratifiedSample(d, fractions)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(by("src0") === 1000L)             // fraction 1.0 keeps the stratum whole
+    assert(!by.contains("src2"))             // fraction 0.0 keeps nothing
+    assert(math.abs(by("src1") - 400L) < 60) // binomial tolerance at n=1000
+    // a stratum absent from the fraction table is dropped (inner join)
+    val part = Sampling.stratifiedSample(d, Seq(("src0", 1.0)).toDF("source", "fraction"))
+    assert(part.select($"source").distinct().as[String].collect().toSeq === Seq("src0"))
+  }
+
+  test("corpusMix: bottleneck stratum taken whole, proportions match targets") {
+    // counts 600/1200/1200; weights 2/1/1 -> capacity T = min(600/2, 1200/1,
+    // 1200/1) = 300 -> fractions 1.0 / 0.25 / 0.25 (src0 is the bottleneck)
+    val d = corpus(3000, i => if (i % 5 < 1) "src0" else if (i % 5 < 3) "src1" else "src2")
+    val weights = Seq(("src0", 2.0), ("src1", 1.0), ("src2", 1.0))
+      .toDF("source", "weight")
+    val out = Sampling.corpusMix(d, weights)
+    val fr = out.groupBy($"source").agg(first($"fraction").as("f"), count(lit(1)).as("c"))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fr("src0")._1 === 1.0)
+    assert(fr("src0")._2 === 600L)
+    assert(fr("src1")._1 === 0.25)
+    assert(math.abs(fr("src1")._2 - 300L) < 50)
+    assert(math.abs(fr("src2")._2 - 300L) < 50)
+    // zero-weight strata are excluded entirely
+    val noSrc2 = Sampling.corpusMix(d,
+      Seq(("src0", 2.0), ("src1", 1.0), ("src2", 0.0)).toDF("source", "weight"))
+    assert(!noSrc2.select($"source").distinct().as[String].collect().contains("src2"))
+  }
+
+  test("packSequences: prefix sums and pack coordinates; docs span chunks") {
+    // token counts 4,4,4,4 at budget 10: starts 0,4,8,12 -> packs 0,0,0,1
+    val d = docs((0L to 3L).map(i =>
+      (i, Seq.fill(4)("tok").mkString(" "), "s")): _*)
+    val out = Sampling.packSequences(d, budget = 10)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 4L, 4L, 0L, 0L),
+      (1L, 4L, 8L, 0L, 4L),
+      (2L, 4L, 12L, 0L, 8L),  // starts at 8 inside pack 0, spans into pack 1
+      (3L, 4L, 16L, 1L, 2L)))
+  }
+
+  test("packSequences: two-phase scan is bucket-count invariant") {
+    val d = docs((0L until 100L).map(i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "), "s")): _*)
+    val a = Sampling.packSequences(d, budget = 17, nBuckets = 3)
+      .orderBy($"doc_id").collect().toSeq
+    val b = Sampling.packSequences(d, budget = 17, nBuckets = 1024)
+      .orderBy($"doc_id").collect().toSeq
+    assert(a === b)
+    // global invariant: cum_tokens is the running sum of n_tokens
+    val rows = Sampling.packSequences(d, budget = 17, nBuckets = 3)
+      .orderBy($"doc_id").select($"n_tokens", $"cum_tokens")
+      .as[(Long, Long)].collect()
+    assert(rows.map(_._1).scanLeft(0L)(_ + _).drop(1).toSeq === rows.map(_._2).toSeq)
+  }
+}
