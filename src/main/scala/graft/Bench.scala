@@ -290,7 +290,8 @@ object Bench {
     // brute kNN is the quadratic baseline the bucketed paths beat)
     val opsHeadline = Seq("q_dedup_exact", "q_lsh_pairs", "q_ngram_jaccard",
       "q_simhash", "q_simhash_neardup", "q_neardup_clusters", "q_decontam",
-      "q_keep_set", "q_knn_brute", "q_ann_topk", "q_ivf_topk", "q_embed_neardup")
+      "q_keep_set", "q_knn_brute", "q_ann_topk", "q_ivf_topk", "q_embed_neardup",
+      "q_sample_stratified", "q_corpus_mix", "q_pack_sequences")
     def timeQueries(s: SparkSession, names: Seq[String]): Map[String, Double] =
       names.map { name =>
         val fn = SparkEntry.queries(name)
@@ -380,6 +381,16 @@ object Bench {
     }
     val ivfTrainedNprobe =
       ops.Similarity.autoNprobe(ops.Similarity.autoNlist(emb.count()))
+    // int8 scalar quantization: what 4x-smaller storage costs in retrieval
+    // quality — brute top-5 over the quantize-dequantize roundtrip vs the
+    // float baseline (both sides exact search, so recall isolates the
+    // quantization error alone)
+    val quantInt8 = {
+      var df: DataFrame = null
+      val sec = time { df = ops.Similarity.knnBrute(
+        ops.Similarity.quantizeRoundtrip(emb)).localCheckpoint() }
+      (sec, recallOf(df))
+    }
 
     // ---- recall-vs-n: the self-scaling claim measured across a 100x
     // corpus-size range on the deterministic synthetic family (constant
@@ -687,6 +698,8 @@ object Bench {
         s""""ivf_bcast_nlist":$ivfBcastNlist,"ivf_bcast_sec":${f"${ivfBcast._1}%.3f"},""" +
         s""""ivf_bcast_recall":${f"${ivfBcast._2}%.4f"},""" +
         s""""ivf_trained_nprobe":$ivfTrainedNprobe,""" +
+        s""""quant_int8_sec":${f"${quantInt8._1}%.3f"},""" +
+        s""""quant_int8_recall":${f"${quantInt8._2}%.4f"},""" +
         s""""preset_cluster_sec":${f"${presetCluster._1}%.3f"},""" +
         s""""preset_fidelity_f1":${f"${presetCluster._2}%.6f"},""" +
         s""""preset_curate_sec":${f"${presetCurate._1}%.3f"},""" +
@@ -900,6 +913,7 @@ object Bench {
          || IVF-flat, KMEANS-TRAINED cells, auto nprobe $ivfTrainedNprobe (PRODUCTION DEFAULT, Presets.annTopK) | ${f"${ivfTrained._2}%.4f"} | ${f"${ivfTrained._1}%.3f"} |
          || IVF-flat, KMeans-trained, nprobe 8 (knob) | ${f"${ivfTrained8._2}%.4f"} | ${f"${ivfTrained8._1}%.3f"} |
          || IVF-flat, nlist=$ivfBcastNlist > inlineNlistCap (BROADCAST probe path), nprobe 8 | ${f"${ivfBcast._2}%.4f"} | ${f"${ivfBcast._1}%.3f"} |
+         || int8 scalar-quantized store, EXACT search over reconstructions (storage knob, not an index) | ${f"${quantInt8._2}%.4f"} | ${f"${quantInt8._1}%.3f"} |
          |
          |### Recall vs corpus size (the self-scaling proof)
          |

@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import graft.pipeline.{Blocking, GreedyClustering, Tokenize, Canonicalize}
-import graft.ops.{TextDedup, Curation, Similarity}
+import graft.ops.{TextDedup, Curation, Similarity, Sampling}
 
 /** The 100-TB-SAFE configuration in one place.
   *
@@ -66,20 +67,64 @@ object Presets {
   def mentionsOf(transcripts: DataFrame): DataFrame =
     Canonicalize.mentions(transcripts)
 
-  /** Full curation verdict with the capped LSH chain: one (doc_id, keep,
-    * reason) row per document. */
-  def curateDocuments(documents: DataFrame, benchmark: DataFrame): DataFrame = {
-    // eager checkpoints: keepSet's contract is that injected stages are
-    // ALREADY materialized (the Queries memoizer does the same) — lazy
-    // frames here would re-derive the whole shingle->minhash chain per
-    // downstream signal
+  /** The capped shingle -> minhash -> LSH-pair chain, eagerly materialized:
+    * keepSet's contract is that injected stages are ALREADY checkpointed
+    * (the Queries memoizer does the same) — lazy frames here would
+    * re-derive the whole chain per downstream signal. */
+  private def dedupChain(documents: DataFrame): (DataFrame, DataFrame) = {
     val shingles = TextDedup.shingles(documents).localCheckpoint()
     val sigs = TextDedup.minhashSignatures(documents, shinglesDf = Some(shingles))
       .localCheckpoint()
     val pairs = TextDedup.lshPairs(documents,
       maxBucket = Some(maxLshBucket), sigsDf = Some(sigs)).localCheckpoint()
+    (shingles, pairs)
+  }
+
+  /** Full curation verdict with the capped LSH chain: one (doc_id, keep,
+    * reason) row per document. */
+  def curateDocuments(documents: DataFrame, benchmark: DataFrame): DataFrame = {
+    val (shingles, pairs) = dedupChain(documents)
     Curation.keepSet(documents, benchmark,
       pairsDf = Some(pairs), shinglesDf = Some(shingles))
+  }
+
+  /** End-to-end training-data assembly, one call: curation verdict ->
+    * keep survivors -> leakage-safe split by near-dup cluster ->
+    * target-proportion source mixing of the train split -> sequence
+    * packing of the mixed train set. The dedup chain (shingles, LSH pairs)
+    * is computed ONCE and shared by the curation verdict and the split
+    * clusters — the stage reuse a checkpointed production pipeline gets.
+    *
+    * Output: one row per surviving document —
+    * (doc_id, source, split, pack_id, pack_offset); pack coordinates are
+    * non-null only for the mixed train set (val/test are evaluation pools,
+    * never packed; train docs dropped by the mix carry split 'unused').
+    *
+    * Scale: every stage is the bounded production variant — capped LSH
+    * buckets, pointer-jumped components, broadcast fraction joins, the
+    * two-phase packing scan. Nothing quadratic, nothing driver-sized
+    * beyond the per-source fraction table and the pack bucket offsets. */
+  def assembleDataset(documents: DataFrame, benchmark: DataFrame,
+      weights: DataFrame, budget: Long = 2048): DataFrame = {
+    val (shingles, pairs) = dedupChain(documents)
+    val verdict = Curation.keepSet(documents, benchmark,
+      pairsDf = Some(pairs), shinglesDf = Some(shingles))
+    val kept = documents.join(
+      verdict.filter(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val clusters = TextDedup.nearDupClusters(documents, pairsDf = Some(pairs))
+    val split = Sampling.leakageSafeSplit(documents, clustersDf = Some(clusters))
+      .select(col("doc_id"), col("split"))
+    val keptSplit = kept.join(split, Seq("doc_id")).localCheckpoint()
+    val train = keptSplit.filter(col("split") === "train")
+    val mixedIds = Sampling.corpusMix(train, weights).select(col("doc_id"))
+    val packed = Sampling.packSequences(
+      train.join(mixedIds, Seq("doc_id"), "left_semi"), budget)
+      .select(col("doc_id"), col("pack_id"), col("pack_offset"))
+    keptSplit.join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("split") === "train" && col("pack_id").isNull, "unused")
+          .otherwise(col("split")).as("split"),
+        col("pack_id"), col("pack_offset"))
   }
 
   /** Production ANN top-k: KMeans-trained IVF cells at nlist ~ sqrt(n)

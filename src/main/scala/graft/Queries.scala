@@ -254,6 +254,14 @@ object Queries {
       Some(rawCtes("SELECT vec_id, cell, cosine, probe_rank FROM ivf_probes",
         Similarity.ctes))
     ),
+    // Int8 scalar quantization of the embedding store (one row per
+    // dimension; round-half-up spelled as floor(x/scale + 0.5) for exact
+    // cross-engine parity).
+    "q_embed_quantize" -> (
+      ((s: SparkSession, dir: String) => Similarity.quantize(embeddings(s, dir))),
+      Some(rawCtes("SELECT vec_id, d, code, scale_r FROM embed_quantize",
+        Similarity.ctes))
+    ),
     "q_ivf_topk" -> (
       ((s: SparkSession, dir: String) => ivfTopKStage(s, dir)),
       Some(rawCtes("SELECT vec_id, neighbor_id, cosine, rank FROM ivf_topk",
@@ -320,6 +328,41 @@ object Queries {
         """SELECT doc_id, n_tokens, cum_tokens, pack_id, pack_offset
           |FROM pack_sequences""".stripMargin,
         TextAnalysis.ctes, graft.ops.Sampling.ctes))
+    ),
+    // Split by near-dup CLUSTER so near-duplicates never straddle
+    // train/test — the leakage-safe split (cluster stage shared with
+    // q_neardup_clusters via the memoized LSH pairs).
+    "q_leakage_split" -> (
+      ((s: SparkSession, dir: String) => {
+        val docs = documents(s, dir)
+        graft.ops.Sampling.leakageSafeSplit(docs, clustersDf =
+          Some(TextDedup.nearDupClusters(docs,
+            pairsDf = Some(lshPairsStage(s, dir)))))
+      }),
+      Some(rawCtes("SELECT doc_id, cluster_id, split FROM leakage_split",
+        TextDedup.ctes, graft.ops.Sampling.splitCtes))
+    ),
+    // End-to-end dataset assembly (Presets.assembleDataset): curation ->
+    // leakage-safe split -> train-mix -> packing, every stage the shared
+    // production variant — the whole preset chain is SQL-expressible, so
+    // the composed output gets its own oracle (null pack coords coalesced
+    // to -1 on both engines; budget 512 mirrored in assemble_pack).
+    "q_assemble_dataset" -> (
+      ((s: SparkSession, dir: String) => {
+        val docs = documents(s, dir)
+        val weights = docs.select(col("source")).distinct()
+          .withColumn("weight",
+            (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("double"))
+        Presets.assembleDataset(docs, docs.filter(col("doc_id") % 97 === 0),
+          weights, budget = 512)
+          .withColumn("pack_id", coalesce(col("pack_id"), lit(-1L)))
+          .withColumn("pack_offset", coalesce(col("pack_offset"), lit(-1L)))
+      }),
+      Some(rawCtes(
+        "SELECT doc_id, source, split, pack_id, pack_offset FROM assemble_dataset",
+        TextDedup.ctes, TextAnalysis.ctes, graft.ops.Curation.ctes,
+        graft.ops.Sampling.ctes, graft.ops.Sampling.splitCtes,
+        graft.ops.Sampling.assembleCtes))
     ),
 
     // ---- training-data ops: multimodal binary plumbing.

@@ -131,6 +131,35 @@ object Sampling {
         col("pack_id"), col("pack_offset"))
   }
 
+  /** Leakage-safe train/val/test split: the split unit is the NEAR-DUP
+    * CLUSTER, not the document — hashing doc_ids directly would let two
+    * near-duplicates straddle train and test, leaking training text into
+    * evaluation (the standard contamination failure of naive splits).
+    * Every member of a cluster inherits the cluster representative's
+    * hash-u, so clusters land in exactly one split, deterministically.
+    *
+    * `clustersDf` defaults to [[TextDedup.nearDupClusters]] (LSH pair graph
+    * connected components); pass a precomputed frame to reuse a pipeline
+    * stage. Scale shape: clustering cost is the dedup pipeline's (already
+    * bucketed + pointer-jumped); the split itself is one hash projection —
+    * no extra shuffle.
+    *
+    * Output: (doc_id, cluster_id, split ∈ train|val|test). */
+  def leakageSafeSplit(documents: DataFrame,
+      trainFrac: Double = 0.9, valFrac: Double = 0.05,
+      salt: String = "graft-split",
+      clustersDf: Option[DataFrame] = None): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      s"invalid split fractions ($trainFrac, $valFrac)")
+    val clusters = clustersDf.getOrElse(TextDedup.nearDupClusters(documents))
+    clusters
+      .withColumn("u", hashU(col("cluster_id"), salt))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("u") < trainFrac, "train")
+          .when(col("u") < trainFrac + valFrac, "val")
+          .otherwise("test").as("split"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** DuckDB CTEs over the driver-registered `documents` view. The strata /
@@ -182,5 +211,80 @@ object Sampling {
       |         ((sum(bpe_tokens) OVER w - bpe_tokens) % 512)::BIGINT AS pack_offset
       |  FROM token_counts
       |  WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |)""".stripMargin
+
+  /** End-to-end dataset-assembly CTEs mirroring
+    * [[graft.Presets.assembleDataset]]: curation survivors -> leakage-safe
+    * split -> target-proportion mix of the train split -> budget-512
+    * sequence packing of the mixed train set. Composes after
+    * [[TextDedup.ctes]] + [[TextAnalysis.ctes]] + [[Curation.ctes]] +
+    * [[ctes]] + [[splitCtes]] (keep_set, leakage_split, doc_u, mix_weights,
+    * token_counts all come from those). Null pack coordinates are
+    * coalesced to -1 on BOTH engines (the Spark query wrapper does the
+    * same) so the driver's value hash never compares engine null
+    * encodings. Window sums are ::BIGINT-cast — DuckDB's sum() OVER on
+    * BIGINT returns HUGEINT and would hash-mismatch identical values. */
+  val assembleCtes: String =
+    """assemble_split AS (
+      |  SELECT k.doc_id, d.source, s.split
+      |  FROM keep_set k
+      |  JOIN documents d USING (doc_id)
+      |  JOIN leakage_split s USING (doc_id)
+      |  WHERE k.reason = 'kept'
+      |),
+      |assemble_train AS (
+      |  SELECT doc_id, source FROM assemble_split WHERE split = 'train'
+      |),
+      |assemble_counts AS (
+      |  SELECT source, count(*)::BIGINT AS n FROM assemble_train GROUP BY 1
+      |),
+      |assemble_capacity AS (
+      |  SELECT min(n / weight) AS t
+      |  FROM assemble_counts JOIN mix_weights USING (source) WHERE weight > 0
+      |),
+      |assemble_fractions AS (
+      |  SELECT source, least(1.0::DOUBLE, weight * t / n) AS fraction
+      |  FROM assemble_counts JOIN mix_weights USING (source), assemble_capacity
+      |  WHERE weight > 0
+      |),
+      |assemble_mixed AS (
+      |  SELECT a.doc_id
+      |  FROM assemble_train a
+      |  JOIN doc_u u USING (doc_id)
+      |  JOIN assemble_fractions f ON a.source = f.source
+      |  WHERE u.u < f.fraction
+      |),
+      |assemble_pack AS (
+      |  SELECT doc_id,
+      |         ((sum(bpe_tokens) OVER w - bpe_tokens) // 512)::BIGINT AS pack_id,
+      |         ((sum(bpe_tokens) OVER w - bpe_tokens) % 512)::BIGINT AS pack_offset
+      |  FROM token_counts JOIN assemble_mixed USING (doc_id)
+      |  WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |),
+      |assemble_dataset AS (
+      |  SELECT s.doc_id, s.source,
+      |         CASE WHEN s.split = 'train' AND p.doc_id IS NULL THEN 'unused'
+      |              ELSE s.split END AS split,
+      |         coalesce(p.pack_id, -1)::BIGINT AS pack_id,
+      |         coalesce(p.pack_offset, -1)::BIGINT AS pack_offset
+      |  FROM assemble_split s LEFT JOIN assemble_pack p USING (doc_id)
+      |)""".stripMargin
+
+  /** Split CTEs, separate because they build on `neardup_clusters` —
+    * compose after [[TextDedup.ctes]]. Fractions mirror the
+    * [[leakageSafeSplit]] defaults with ::DOUBLE literals. */
+  val splitCtes: String =
+    """split_u AS (
+      |  SELECT doc_id, cluster_id,
+      |         ('0x' || substr(md5(cluster_id::VARCHAR || ':graft-split'), 1, 8))::BIGINT
+      |           / 4294967296.0::DOUBLE AS u
+      |  FROM neardup_clusters
+      |),
+      |leakage_split AS (
+      |  SELECT doc_id, cluster_id,
+      |         CASE WHEN u < 0.9::DOUBLE THEN 'train'
+      |              WHEN u < 0.9::DOUBLE + 0.05::DOUBLE THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM split_u
       |)""".stripMargin
 }

@@ -476,6 +476,47 @@ object Similarity {
       .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Int8 symmetric scalar quantization — the storage-side half of a
+    * 100-TB embedding store (4x smaller than float32 before the index even
+    * starts). Per vector: scale = max|x| / 127, code_d = round-half-up of
+    * x_d / scale (an all-zero vector quantizes to all-zero codes at scale
+    * 0). One scan, one row per (vec_id, dimension), no shuffle.
+    *
+    * Round-half-up is spelled floor(x/scale + 0.5) so Spark and the DuckDB
+    * oracle agree bit-for-bit (both engines' native round() differ on
+    * half-way ties between dialects; floor does not).
+    *
+    * Output: (vec_id, d, code ∈ [-127, 127], scale_r). */
+  def quantize(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("mx", array_max(transform(col("embedding"),
+        x => abs(x))).cast("double"))
+      .withColumn("scale", col("mx") / lit(127.0))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        when(col("scale") === 0, lit(0))
+          .otherwise(floor(col("x").cast("double") / col("scale") + lit(0.5))
+            .cast("int")).as("code"),
+        round(col("scale"), 6).as("scale_r"))
+
+  /** Quantize-dequantize roundtrip: embeddings with each component snapped
+    * to its int8 reconstruction (code * scale, as array<double> — the
+    * double-array dot kernels take it natively). Feeding this through
+    * [[knnBrute]] against the float baseline measures exactly what int8
+    * storage costs in retrieval quality; Bench records recall@5. */
+  def quantizeRoundtrip(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("mx", array_max(transform(col("embedding"),
+        x => abs(x))).cast("double"))
+      .withColumn("scale", col("mx") / lit(127.0))
+      .withColumn("embedding",
+        when(col("scale") === 0,
+          transform(col("embedding"), _ => lit(0.0)))
+          .otherwise(transform(col("embedding"),
+            x => floor(x.cast("double") / col("scale") + lit(0.5)) * col("scale"))))
+      .drop("mx", "scale")
+
   // ---------------------------------------------------------------- oracle
 
   val ctes: String =
@@ -600,5 +641,20 @@ object Similarity {
       |    JOIN emb eb ON a.vec_id = eb.vec_id
       |    WHERE p.vec_id <> a.vec_id
       |  ) WHERE rank <= 5
+      |),
+      |quant_scale AS (
+      |  SELECT vec_id, embedding,
+      |         list_max([ abs(x::DOUBLE) FOR x IN embedding ]) / 127.0::DOUBLE AS scale
+      |  FROM embeddings
+      |),
+      |embed_quantize AS (
+      |  SELECT vec_id, (d - 1)::INT AS d,
+      |         CASE WHEN scale = 0 THEN 0
+      |              ELSE floor((embedding[d]::DOUBLE) / scale + 0.5::DOUBLE)::INT
+      |         END AS code,
+      |         round(scale, 6) AS scale_r
+      |  FROM (SELECT vec_id, embedding, scale,
+      |               unnest(generate_series(1, len(embedding))) AS d
+      |        FROM quant_scale)
       |)""".stripMargin
 }

@@ -38,6 +38,30 @@ class PresetsSpec extends SparkSpec {
     assert(preset.count() === docs.count(), "verdict must be total over documents")
   }
 
+  test("preset dataset assembly: total over survivors, split-atomic, train packed") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val benchmark = docs.filter(col("doc_id") % 97 === 0)
+    val weights = docs.select(col("source")).distinct()
+      .withColumn("weight", lit(1.0))
+    val out = Presets.assembleDataset(docs, benchmark, weights, budget = 256)
+      .localCheckpoint()
+    val kept = Presets.curateDocuments(docs, benchmark).filter(col("keep"))
+    // exactly one row per curation survivor
+    assert(out.count() === kept.count())
+    assert(out.select(col("doc_id")).distinct().count() === kept.count())
+    // packed rows are exactly the non-unused train split, with valid coords
+    val train = out.filter(col("split") === "train")
+    assert(train.filter(col("pack_id").isNull).count() === 0)
+    assert(train.filter(col("pack_offset") < 0 || col("pack_offset") >= 256)
+      .count() === 0)
+    assert(out.filter(col("split").isin("val", "test", "unused"))
+      .filter(col("pack_id").isNotNull).count() === 0)
+    // packs are dense: ids 0..max with no gaps (every chunk has a starter)
+    val packIds = train.select(col("pack_id")).distinct()
+      .orderBy(col("pack_id")).collect().map(_.getLong(0))
+    assert(packIds.toSeq === (0L to packIds.max).toSeq)
+  }
+
   test("preset ANN returns a full trained top-k") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val topk = Presets.annTopK(emb, k = 3).localCheckpoint()

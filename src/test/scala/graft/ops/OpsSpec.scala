@@ -367,6 +367,30 @@ class OpsSpec extends SparkSpec {
     assert(out(2L)._5 === raw(2L))
   }
 
+  test("int8 quantization: codes bounded, extremes hit ±127, roundtrip tight") {
+    val emb = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 1.0f)),   // max|x| = 1.0
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),     // zero vector -> scale 0
+      (3L, Array(-2.0f, 1.0f, 0.5f, -0.125f))) // max|x| = 2.0 (negative)
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantize(emb).as[(Long, Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(q((1L, 3)) === 127)   // +max maps to +127
+    assert(q((3L, 0)) === -127)  // -max maps to -127
+    assert((0 to 3).forall(d => q((2L, d)) === 0)) // zero vector -> zero codes
+    assert(q.values.forall(c => c >= -127 && c <= 127))
+    // roundtrip: every component within scale/2 of the original
+    val rt = Similarity.quantizeRoundtrip(emb)
+      .as[(Long, Array[Double])].collect().toMap
+    val orig = emb.as[(Long, Array[Float])].collect().toMap
+    for ((id, xs) <- orig) {
+      val scale = xs.map(math.abs(_)).max / 127.0
+      val back = rt(id)
+      assert(xs.zip(back).forall { case (x, y) =>
+        math.abs(x.toDouble - y) <= scale / 2 + 1e-12 })
+    }
+  }
+
   test("media resize and frame-sample plumbing: budgets, indices, checksums") {
     val text = Seq.fill(130)("abcd").mkString // 520 bytes -> 3 frames of 256
     val media = Multimodal.mediaTable(docs((9L, text)))

@@ -77,6 +77,35 @@ class SamplingSpec extends SparkSpec {
       (3L, 4L, 16L, 1L, 2L)))
   }
 
+  test("leakageSafeSplit: clusters are split-atomic, fractions roughly honored") {
+    // two near-dup pairs (same text => same LSH buckets) + many singletons
+    val nearDups = Seq(
+      (10000L, "the quick brown fox jumps over the lazy dog today", "s"),
+      (10001L, "the quick brown fox jumps over the lazy dog today", "s"),
+      (10002L, "completely different words entirely unrelated to anything else", "s"),
+      (10003L, "completely different words entirely unrelated to anything else", "s"))
+    // every word carries the doc index, so word-3-gram shingles are
+    // DISJOINT across docs (shared words like "unique text body" would
+    // near-dup-cluster the whole fixture and skew the split fractions)
+    val singles = (0L until 2000L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i", "s"))
+    val d = docs((singles ++ nearDups): _*)
+    val out = Sampling.leakageSafeSplit(d)
+      .as[(Long, Long, String)].collect()
+    val byDoc = out.map(r => r._1 -> (r._2, r._3)).toMap
+    // near-dup mates inherit the cluster verdict — never straddle splits
+    assert(byDoc(10000L) === byDoc(10001L)._1 -> byDoc(10001L)._2)
+    assert(byDoc(10002L)._2 === byDoc(10003L)._2)
+    // proportions over ~2000 effectively-singleton clusters
+    val frac = out.groupBy(_._3).view.mapValues(_.length.toDouble / out.length).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.03)
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.05) < 0.02)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.05) < 0.02)
+    // deterministic: a rerun reproduces the identical assignment
+    val again = Sampling.leakageSafeSplit(d).as[(Long, Long, String)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("packSequences: two-phase scan is bucket-count invariant") {
     val d = docs((0L until 100L).map(i =>
       (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "), "s")): _*)
