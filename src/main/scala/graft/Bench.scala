@@ -391,6 +391,16 @@ object Bench {
         ops.Similarity.quantizeRoundtrip(emb)).localCheckpoint() }
       (sec, recallOf(df))
     }
+    // the COMPOSED 100-TB retrieval path: int8-quantized store + trained
+    // IVF cells at auto params — recall measured against the FLOAT brute
+    // truth, so this row carries index loss and quantization loss together
+    // (the number a production deployment actually sees)
+    val ivfQuant = {
+      var df: DataFrame = null
+      val sec = time { df = ops.Similarity.ivfTopKTrained(
+        ops.Similarity.quantizeRoundtrip(emb)).localCheckpoint() }
+      (sec, recallOf(df))
+    }
 
     // ---- recall-vs-n: the self-scaling claim measured across a 100x
     // corpus-size range on the deterministic synthetic family (constant
@@ -448,6 +458,25 @@ object Bench {
       val exactRate = SparkEntry.queries("q_keep_set")(spark, sfDir)
         .filter(col("keep")).count() / total
       (sec, presetRate, exactRate)
+    }
+    // preset e2e: the one-call dataset-assembly chain (curation ->
+    // leakage-safe split -> train corpus-mix -> sequence packing, shared
+    // dedup chain) at bench scale — wall time, survivor count, and the
+    // packed-train fraction of the output
+    val presetAssemble = {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").localCheckpoint()
+      val benchC = docs.filter(col("doc_id") % 97 === 0)
+      val weights = docs.select(col("source")).distinct()
+        .withColumn("weight", lit(1.0))
+      var out: DataFrame = null
+      val sec = time {
+        out = Presets.assembleDataset(docs, benchC, weights).localCheckpoint()
+      }
+      val n = out.count()
+      val packedFrac = out.filter(col("pack_id").isNotNull).count().toDouble /
+        math.max(n, 1L)
+      (sec, n, packedFrac)
     }
 
     // materialize tokens once for the scaling phases (untimed)
@@ -700,6 +729,11 @@ object Bench {
         s""""ivf_trained_nprobe":$ivfTrainedNprobe,""" +
         s""""quant_int8_sec":${f"${quantInt8._1}%.3f"},""" +
         s""""quant_int8_recall":${f"${quantInt8._2}%.4f"},""" +
+        s""""ivf_quant_sec":${f"${ivfQuant._1}%.3f"},""" +
+        s""""ivf_quant_recall":${f"${ivfQuant._2}%.4f"},""" +
+        s""""preset_assemble_sec":${f"${presetAssemble._1}%.3f"},""" +
+        s""""preset_assemble_rows":${presetAssemble._2},""" +
+        s""""preset_assemble_packed_frac":${f"${presetAssemble._3}%.4f"},""" +
         s""""preset_cluster_sec":${f"${presetCluster._1}%.3f"},""" +
         s""""preset_fidelity_f1":${f"${presetCluster._2}%.6f"},""" +
         s""""preset_curate_sec":${f"${presetCurate._1}%.3f"},""" +
@@ -914,6 +948,7 @@ object Bench {
          || IVF-flat, KMeans-trained, nprobe 8 (knob) | ${f"${ivfTrained8._2}%.4f"} | ${f"${ivfTrained8._1}%.3f"} |
          || IVF-flat, nlist=$ivfBcastNlist > inlineNlistCap (BROADCAST probe path), nprobe 8 | ${f"${ivfBcast._2}%.4f"} | ${f"${ivfBcast._1}%.3f"} |
          || int8 scalar-quantized store, EXACT search over reconstructions (storage knob, not an index) | ${f"${quantInt8._2}%.4f"} | ${f"${quantInt8._1}%.3f"} |
+         || int8 store + trained IVF at auto params (the COMPOSED production path: quantization loss + index loss vs float brute truth) | ${f"${ivfQuant._2}%.4f"} | ${f"${ivfQuant._1}%.3f"} |
          |
          |### Recall vs corpus size (the self-scaling proof)
          |
@@ -953,6 +988,7 @@ object Bench {
          || --- | --- | --- |
          || Presets.clusterMentions (capped blocking + bounded greedy) | ${f"${presetCluster._1}%.3f"} | pairwise F1 vs exact clusters: **${f"${presetCluster._2}%.6f"}** |
          || Presets.curateDocuments (capped LSH chain) | ${f"${presetCurate._1}%.3f"} | keep rate ${f"${presetCurate._2}%.4f"} vs exact ${f"${presetCurate._3}%.4f"} |
+         || Presets.assembleDataset (curate -> split -> mix -> pack, shared dedup chain) | ${f"${presetAssemble._1}%.3f"} | ${presetAssemble._2} survivors, packed-train frac ${f"${presetAssemble._3}%.4f"} |
          |
          |## spark-submit launch path
          |

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, UnaryExpression, Expression, ExpectsInputTypes, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.engine.Phonetics
 
@@ -91,6 +91,73 @@ object GraftFunctions {
     acc
   }
 
+  /** All-tables LSH sign signatures in one pass: element t of the result
+    * is the sum over planes p of (1L << p) where the index-order double
+    * dot of the row against plane (t, p)'s ±1 weight vector is > 0.
+    * `w` is the flat weight array laid out (t * planes + p) * dims + d.
+    *
+    * Per-plane parity with the unrolled `CASE WHEN graft_dot_fd(emb,
+    * array(<literals>)) > 0` chain this replaces: same accumulation order
+    * (bit-identical sign), and a corrupt plane dot — NULL element or a
+    * width-mismatched row — contributes bit 0 instead of poisoning the
+    * job. The replacement exists because the unrolled form inlines
+    * tables x planes x dims literal doubles into ONE generated method: at
+    * the auto params of a large corpus (~64 tables x 12 planes x 64+
+    * dims) that is a >10k-line method, past janino's limits, and the
+    * whole index-build stage silently fell back to interpreted execution.
+    * This kernel keeps the stage inside whole-stage codegen with O(1)
+    * generated code at any parameter setting. */
+  def lshSigsF(a: ArrayData, tables: Int, planes: Int, dims: Int,
+      w: Array[Double]): Array[Long] = {
+    val out = new Array[Long](tables)
+    val widthOk = a.numElements() == dims
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        if (widthOk) {
+          val base = (t * planes + p) * dims
+          var acc = 0.0; var i = 0; var bad = false
+          while (i < dims && !bad) {
+            if (a.isNullAt(i)) bad = true
+            else { acc += a.getFloat(i).toDouble * w(base + i); i += 1 }
+          }
+          if (!bad && acc > 0) sig |= (1L << p)
+        }
+        p += 1
+      }
+      out(t) = sig; t += 1
+    }
+    out
+  }
+
+  /** [[lshSigsF]] for array<double> rows (lossless, like [[dotDD]]). */
+  def lshSigsD(a: ArrayData, tables: Int, planes: Int, dims: Int,
+      w: Array[Double]): Array[Long] = {
+    val out = new Array[Long](tables)
+    val widthOk = a.numElements() == dims
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        if (widthOk) {
+          val base = (t * planes + p) * dims
+          var acc = 0.0; var i = 0; var bad = false
+          while (i < dims && !bad) {
+            if (a.isNullAt(i)) bad = true
+            else { acc += a.getDouble(i) * w(base + i); i += 1 }
+          }
+          if (!bad && acc > 0) sig |= (1L << p)
+        }
+        p += 1
+      }
+      out(t) = sig; t += 1
+    }
+    out
+  }
+
   def normD(a: ArrayData): java.lang.Double = {
     val n = a.numElements()
     var acc = 0.0; var i = 0
@@ -137,6 +204,11 @@ object GraftFunctions {
       (es: Seq[Expression]) => DotFExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_norm_f",
       (es: Seq[Expression]) => NormFExpr(es(0)), "scala_udf")
+    // graft_lsh_sigs(emb, tables, planes, dims): the three parameters must
+    // be integer literals (they shape the weight table at plan time)
+    reg.createOrReplaceTempFunction("graft_lsh_sigs",
+      (es: Seq[Expression]) => LshSigsExpr(es(0), LshSigsExpr.litInt(es(1)),
+        LshSigsExpr.litInt(es(2)), LshSigsExpr.litInt(es(3))), "scala_udf")
   }
 }
 
@@ -218,6 +290,91 @@ case class NormFExpr(child: Expression)
          |""".stripMargin
     })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** graft_lsh_sigs: all-tables random-hyperplane LSH signatures of one
+  * embedding row as array<long> (index = table) — the loop-codegen'd
+  * replacement for the unrolled per-table CASE chains (see
+  * [[GraftFunctions.lshSigsF]] for why: the unrolled form exceeded
+  * janino's method limits at large-corpus auto params and silently
+  * dropped the index build out of whole-stage codegen). The md5-parity
+  * ±1 weights are deterministic in (t, p, d) — identical to the DuckDB
+  * oracle's plane_weights CTE — computed once per plan and shipped to
+  * generated code as a reference object, never as literals.
+  *
+  * NULL-handling: a NULL element (or a width-mismatched row, streaming
+  * only — batch fails fast on ragged corpora) degrades the affected
+  * plane's bit to 0, exactly like the CASE chain. A NULL embedding now
+  * yields a NULL signature array — the row drops out of the bucket
+  * explode — where the CASE chain gave it sig 0 in EVERY table,
+  * piling all corrupt rows into one hot bucket per table (a skew bomb
+  * the valve then had to absorb). */
+case class LshSigsExpr(child: Expression, tables: Int, planes: Int, dims: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(tables > 0 && planes > 0 && planes <= 63 && dims > 0,
+    s"invalid LSH shape: tables=$tables planes=$planes dims=$dims")
+  override def inputTypes = Seq(ArrayType(ArrayKernelType.elemOf(child)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val kernel =
+    if (ArrayKernelType.isDouble(child)) "lshSigsD" else "lshSigsF"
+  @transient private lazy val weights: Array[Double] =
+    LshSigsExpr.weights(tables, planes, dims)
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val sigs =
+      if (kernel == "lshSigsD") GraftFunctions.lshSigsD(arr, tables, planes, dims, weights)
+      else GraftFunctions.lshSigsF(arr, tables, planes, dims, weights)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sigs)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val wRef = ctx.addReferenceObj("lshWeights", weights, "double[]")
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.GraftFunctions.$kernel(
+         |    $a, $tables, $planes, $dims, $wRef));
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object LshSigsExpr {
+  /** Deterministic ±1 hyperplane weight for (table t, plane p, dim d):
+    * parity of the first 8 md5 hex chars of "t:p:d" — identical to the
+    * oracle's `('0x' || substr(md5(t || ':' || p || ':' || d), 1, 8))
+    * ::BIGINT % 2`. */
+  def planeWeight(t: Int, p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$t:$p:$d".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Flat (t * planes + p) * dims + d weight layout for the kernels. */
+  def weights(tables: Int, planes: Int, dims: Int): Array[Double] = {
+    val w = new Array[Double](tables * planes * dims)
+    var t = 0
+    while (t < tables) {
+      var p = 0
+      while (p < planes) {
+        var d = 0
+        while (d < dims) {
+          w((t * planes + p) * dims + d) = planeWeight(t, p, d); d += 1
+        }
+        p += 1
+      }
+      t += 1
+    }
+    w
+  }
+
+  /** Registry helper: the shape arguments must fold to integer literals. */
+  def litInt(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case s: Short => s.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft_lsh_sigs shape parameters must be integer literals, got $other")
+  }
 }
 
 case class JaroWinklerExpr(left: Expression, right: Expression)

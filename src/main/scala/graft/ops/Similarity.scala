@@ -61,8 +61,8 @@ object Similarity {
     * 16 — keeps the EXPECTED bucket size ~2^4 = 16 vectors up to n ~ 1M
     * (a fixed plane count means buckets — and the quadratic step — grow
     * linearly with the corpus, the round-3 scale-killer). Beyond the cap
-    * the inlined-weights projection stays bounded (the cap bounds the
-    * expression at tables x 16 x dims literals) and the hot-bucket valve
+    * the per-row signing work stays bounded (tables x 16 x dims
+    * multiply-adds) and the hot-bucket valve
     * [[defaultMaxBucket]] carries the quadratic bound instead: bucket
     * sizes grow but over-cap buckets are dropped per table, their members
     * still covered by the other tables — graceful recall degradation, not
@@ -80,46 +80,34 @@ object Similarity {
   /** Tables needed to keep multi-table recall roughly constant relative to
     * the calibrated 12-tables-at-5-planes operating point, CAPPED at 64:
     * recall-holding table growth is exponential in added planes, so past
-    * the cap the operator trades recall instead of driver-side expression
-    * size (64 x 16 planes x 64 dims ~ 65k inlined weights, still a
-    * fast-to-plan expression; uncapped it reaches millions of literals at
-    * 10^6+ vectors and stalls Catalyst long before executor work). */
+    * the cap the operator trades recall instead of per-row work and
+    * bucket-row volume (each table adds planes x dims multiply-adds per
+    * row plus one exploded bucket row; uncapped it reaches thousands of
+    * tables at 10^6+ vectors — the work bound has to come from the cap,
+    * with [[ivfTopKTrained]] as the designated handoff past it). */
   def autoTables(planes: Int): Int =
     math.min(64,
       math.ceil(12.0 * math.pow(1.0 / planeCollisionP, (planes - 5).toDouble)).toInt)
 
-  /** Deterministic ±1 hyperplane weight for (table t, plane p, dim d):
-    * parity of the first 8 md5 hex chars of "t:p:d" — identical to the
-    * oracle's `('0x' || substr(md5(t || ':' || p || ':' || d), 1, 8))::BIGINT % 2`. */
-  private def planeWeight(t: Int, p: Int, d: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$t:$p:$d".getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
-    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
-  }
-
-  /** The per-table signature as ONE codegen'd column expression over the
-    * embedding array: the md5-derived weights are inlined as constant
-    * arrays (folded to literals by the optimizer), so signing is a pure
-    * per-row projection — no dim explode, no weights join, no aggregate
-    * shuffle (the round-3 shape materialized n x dims x tables x planes
-    * intermediate rows; this one touches each input row once). Shared by
-    * the batch index and the streaming near-dup path (stateless per-row =>
-    * directly streamable, bit-identical to batch). */
-  def sigColumn(t: Int, planes: Int, dims: Int, embCol: String = "embedding"): Column = {
-    // graft_dot_fd is the codegen'd index-order fold — same accumulation
-    // (and so the same sign) as the interpreted aggregate(zip_with(...))
-    // chain it replaced, which boxed every element of every plane
-    // projection. Width mismatches can't reach it (batch fails fast,
-    // streaming filters); a corrupt row's NULL dot gives CASE NULL > 0 =
-    // false, i.e. bit 0, instead of poisoning the job.
-    val terms = (0 until planes).map { p =>
-      val w = (0 until dims).map(d => s"${planeWeight(t, p, d)}D").mkString(",")
-      s"""(CASE WHEN graft_dot_fd($embCol, array($w)) > 0
-         |  THEN ${1L << p}L ELSE 0L END)""".stripMargin
-    }
-    expr(terms.mkString("(", " + ", ")"))
-  }
+  /** All-tables signature vector as ONE loop-codegen'd column expression
+    * over the embedding array ([[graft.functions.LshSigsExpr]]): the
+    * md5-parity ±1 weights — identical to the oracle's plane_weights CTE,
+    * `('0x' || substr(md5(t || ':' || p || ':' || d), 1, 8))::BIGINT % 2`
+    * — ride the plan as a reference object, never as literals, so the
+    * generated code is a fixed-size loop at ANY (tables, planes, dims).
+    * Signing stays a pure per-row projection (no dim explode, no weights
+    * join, no aggregate shuffle), and — unlike the unrolled per-table
+    * CASE chains this replaces — it stays inside whole-stage codegen at
+    * large-corpus auto params: the unrolled form inlined tables x planes
+    * x dims literal doubles into one generated method and tripped
+    * janino's limits at ~64 tables (measured: the recall-vs-n n=50000
+    * point compiled a >10k-line method, failed, and silently ran the
+    * whole index build interpreted). Shared by the batch index and the
+    * streaming near-dup path (stateless per-row => directly streamable,
+    * bit-identical to batch: same kernel, same index-order fold). */
+  def sigsColumn(tables: Int, planes: Int, dims: Int,
+      embCol: String = "embedding"): Column =
+    expr(s"graft_lsh_sigs($embCol, $tables, $planes, $dims)")
 
   /** (tables, planes, dims) resolved against the data in ONE aggregate
     * action: 0 = auto (planes ~ log2 n, tables holding recall at the
@@ -145,18 +133,21 @@ object Similarity {
     * random-hyperplane LSH. `tables`/`planes` = 0 (the default) resolve
     * from the corpus size ([[autoPlanes]]/[[autoTables]]). */
   def lshSignatures(embeddings: DataFrame, tables: Int = 0, planes: Int = 0): DataFrame = {
-    reg(embeddings) // sigColumn resolves graft_dot_fd at analysis time
+    reg(embeddings) // sigsColumn resolves graft_lsh_sigs at analysis time
     val (nt, np, dims) = resolveParams(embeddings, tables, planes)
     lshSignaturesResolved(embeddings, nt, np, dims)
   }
 
   private def lshSignaturesResolved(embeddings: DataFrame, nt: Int, np: Int,
-      dims: Int): DataFrame =
+      dims: Int): DataFrame = {
+    if (dims == 0) // empty corpus (resolveParams found no rows): keep schema
+      return embeddings.select(col("vec_id"), lit(0L).as("t"),
+        lit(0L).as("sig")).where(lit(false))
     embeddings
       .select(col("vec_id"),
-        posexplode(array((0 until nt).map(sigColumn(_, np, dims)): _*))
-          .as(Seq("t", "sig")))
+        posexplode(sigsColumn(nt, np, dims)).as(Seq("t", "sig")))
       .select(col("vec_id"), col("t").cast("long").as("t"), col("sig"))
+  }
 
   /** Drop (t, sig) buckets holding more than `cap` vectors — the
     * hot-bucket valve for sign-pattern LSH (e.g. the all-positive bucket
@@ -183,7 +174,7 @@ object Similarity {
     * process, like a pipelined run that checkpoints its index. */
   def annCandidates(embeddings: DataFrame, tables: Int = 0, planes: Int = 0,
       maxBucket: Option[Int] = defaultMaxBucket): DataFrame = {
-    reg(embeddings) // sigColumn resolves graft_dot_fd at analysis time
+    reg(embeddings) // sigsColumn resolves graft_lsh_sigs at analysis time
     val (nt, np, dims) = resolveParams(embeddings, tables, planes)
     val sigs = capBuckets(lshSignaturesResolved(embeddings, nt, np, dims), maxBucket)
     // positional per-vec signature vector, capped-away slots nulled; eager

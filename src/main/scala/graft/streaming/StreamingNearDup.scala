@@ -268,12 +268,12 @@ object StreamingNearDup {
   /** Stateless per-row random-hyperplane buckets over an EMBEDDING stream
     * (vec_id, embedding float[], ts): one (t, sig) sign-pattern bucket per
     * hash table, bit-identical to the batch index's signatures (shared
-    * [[graft.ops.Similarity.sigColumn]] expression — same inline
-    * md5-parity weights, same fold order). `tables`/`planes`/`dims` are
+    * [[graft.ops.Similarity.sigsColumn]] expression — same md5-parity
+    * weights, same fold order, same kernel). `tables`/`planes`/`dims` are
     * explicit: a stream cannot count its corpus, so the log2(n) plane
     * scaling happens at deploy time against the EXPECTED corpus size. */
   def embBuckets(embs: DataFrame, tables: Int, planes: Int, dims: Int): DataFrame = {
-    // sigColumn resolves graft_dot_fd at analysis time
+    // sigsColumn resolves graft_lsh_sigs at analysis time
     graft.functions.GraftFunctions.register(embs.sparkSession)
     // a wrong-width streamed vector would get a partial-prefix signature —
     // a WRONG bucket, silently missed dups. The batch path fails fast on
@@ -282,8 +282,8 @@ object StreamingNearDup {
     // corrupt-row-degrades philosophy, GraftFunctions.dotF)
     embs.where(size(col("embedding")) === dims)
       .select(col("vec_id"), col("ts"),
-      posexplode(array((0 until tables).map(t =>
-        graft.ops.Similarity.sigColumn(t, planes, dims)): _*)).as(Seq("t", "sig")))
+        posexplode(graft.ops.Similarity.sigsColumn(tables, planes, dims))
+          .as(Seq("t", "sig")))
       .select(col("vec_id"), col("t"), col("sig"), col("ts"))
   }
 
@@ -351,8 +351,8 @@ object StreamingNearDup {
     graft.functions.GraftFunctions.register(spark)
     embs.where(size(col("embedding")) === dims)
       .select(col("vec_id"), col("embedding"), col("ts"),
-        posexplode(array((0 until tables).map(t =>
-          graft.ops.Similarity.sigColumn(t, planes, dims)): _*)).as(Seq("t", "sig")))
+        posexplode(graft.ops.Similarity.sigsColumn(tables, planes, dims))
+          .as(Seq("t", "sig")))
       .select(col("vec_id"), col("embedding"), col("t"), col("sig"), col("ts"))
       .withWatermark("ts", s"$latenessMinutes minutes")
       .as[EmbVBucketRow]

@@ -33,6 +33,59 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_lsh_sigs matches an independent md5-parity sign computation") {
+    import org.apache.spark.sql.functions._
+    val spark2 = s
+    import spark2.implicits._
+    // independent ground truth: NOT the kernel — recompute weights and the
+    // index-order float->double dot from the spec'd definition
+    def weight(t: Int, p: Int, d: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$t:$p:$d".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+    val (tables, planes, dims) = (3, 5, 4)
+    def expected(v: Array[Float]): Seq[Long] =
+      (0 until tables).map { t =>
+        (0 until planes).foldLeft(0L) { (sig, p) =>
+          var acc = 0.0; var i = 0
+          while (i < dims) { acc += v(i).toDouble * weight(t, p, i); i += 1 }
+          if (acc > 0) sig | (1L << p) else sig
+        }
+      }
+    val vecs = (0 until 6).map(k =>
+      (k.toLong, Array.tabulate(dims)(d => math.sin(k * 7 + d * 3).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+      expr(s"graft_lsh_sigs(embedding, $tables, $planes, $dims)").as("sigs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for ((id, v) <- vecs) assert(out(id) === expected(v), s"vec $id")
+    // batch operator parity: lshSignatures (explode form) agrees
+    val exploded = graft.ops.Similarity.lshSignatures(df, tables, planes)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = vecs.flatMap { case (id, v) =>
+      expected(v).zipWithIndex.map { case (sg, t) => (id, t.toLong, sg) } }.toSet
+    assert(exploded === want)
+    // double-typed corpus: same signs (values chosen representable enough
+    // that float->double and double paths agree in sign)
+    val dd = vecs.map { case (id, v) => (id, v.map(_.toDouble)) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        expr(s"graft_lsh_sigs(embedding, $tables, $planes, $dims)").as("sigs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for ((id, v) <- vecs) assert(dd(id) === expected(v), s"double vec $id")
+    // corrupt rows: a NULL element degrades every touched plane to bit 0
+    // (sig 0); a NULL embedding drops the row at the explode
+    val corrupt = s.sql(
+      s"""SELECT graft_lsh_sigs(array(cast(1 as float), cast(null as float),
+         |  cast(1 as float), cast(1 as float)), $tables, $planes, $dims) AS a,
+         |  graft_lsh_sigs(cast(null as array<float>),
+         |  $tables, $planes, $dims) AS b""".stripMargin).collect()(0)
+    assert(corrupt.getSeq[Long](0) === Seq.fill(tables)(0L))
+    assert(corrupt.isNullAt(1))
+  }
+
   test("corrupt rows degrade to NULL: null element, length mismatch, null array") {
     // constant args -> constant-folded through the interpreted eval path
     val r = s.sql(

@@ -58,6 +58,47 @@ class PlanShapeSpec extends SparkSpec {
       s"phonetic baseline must not sort-buffer code groups in a Window; plan:\n$plan")
   }
 
+  test("stratifiedSample: broadcast fraction join, corpus never shuffles") {
+    import spark.implicits._
+    val fractions = Seq(("src0", 0.5), ("src1", 0.9)).toDF("source", "fraction")
+    val plan = physical(Sampling.stratifiedSample(docs, fractions))
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("hashpartitioning"),
+      s"the corpus side must not shuffle for a broadcast fraction join; plan:\n$plan")
+  }
+
+  test("corpusMix: only the strata-count aggregate shuffles; corpus joins broadcast") {
+    import spark.implicits._
+    val weights = Seq(("src0", 1.0), ("src1", 2.0)).toDF("source", "weight")
+    val plan = physical(Sampling.corpusMix(docs, weights))
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus mixing must broadcast the fraction table, never sort-merge; plan:\n$plan")
+  }
+
+  test("packSequences: the corpus window is PARTITIONED (by range bucket)") {
+    val plan = physical(Sampling.packSequences(docs))
+    // every Window node over corpus rows must carry a partition spec; the
+    // only unpartitioned window in the design runs on the <= nBuckets
+    // offsets frame, which is joined back by BROADCAST — so the corpus
+    // branch must show a partitioned Window + a broadcast join, and no
+    // sort-merge join anywhere
+    val windows = "Window \\[.*?\\], \\[(.*?)\\], \\[".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(windows.exists(_.contains("bkt")),
+      s"expected a bkt-partitioned Window over the corpus; plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"bucket offsets must broadcast back; plan:\n$plan")
+  }
+
+  test("leakageSafeSplit over a precomputed cluster table is shuffle-free") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster_id")
+    val plan = physical(Sampling.leakageSafeSplit(docs, clustersDf = Some(clusters)))
+    assert(countExchanges(plan) == 0,
+      s"the split is one hash projection — no shuffle; plan:\n$plan")
+  }
+
   test("lang-id / quality / token-count / fingerprint are single-scan, zero-shuffle") {
     Seq(
       TextAnalysis.langId(docs),

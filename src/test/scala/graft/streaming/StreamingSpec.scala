@@ -166,7 +166,7 @@ class StreamingSpec extends SparkSpec {
       .limit(20).localCheckpoint()
     val (tables, planes, dims) = (4, 5, 64)
     // 1) per-row signatures are BIT-EQUAL to the batch index (shared
-    // sigColumn expression)
+    // sigsColumn expression)
     val streamed = StreamingNearDup.embBuckets(
       emb.withColumn("ts", lit(new Timestamp(t0))), tables, planes, dims)
       .select($"vec_id", $"t".cast("long"), $"sig")
