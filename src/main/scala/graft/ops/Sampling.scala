@@ -111,8 +111,12 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val toks = TextAnalysis.tokenCounts(documents)
       .select(col("doc_id"), col("bpe_tokens").as("n_tokens"))
-    val Array(mn, mx) = toks.agg(min(col("doc_id")), max(col("doc_id")))
-      .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+    val stats = toks.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    if (stats.isNullAt(0)) // empty corpus (e.g. an empty train mix): keep
+      return toks.select(col("doc_id"), col("n_tokens"), // schema, no rows
+        lit(0L).as("cum_tokens"), lit(0L).as("pack_id"),
+        lit(0L).as("pack_offset")).where(lit(false))
+    val (mn, mx) = (stats.getLong(0), stats.getLong(1))
     val width = math.max(1L, (mx - mn) / nBuckets + 1)
     val bucketed = toks.withColumn("bkt", ((col("doc_id") - mn) / width).cast("long"))
     // ≤ nBuckets rows: driver-bounded metadata, the scan's phase-1 output

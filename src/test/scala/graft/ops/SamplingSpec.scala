@@ -106,6 +106,18 @@ class SamplingSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("empty corpus: every assembly op returns empty with schema, no NPE") {
+    val empty = docs().limit(0)
+    val fr = Seq(("s", 0.5)).toDF("source", "fraction")
+    val w = Seq(("s", 1.0)).toDF("source", "weight")
+    assert(Sampling.stratifiedSample(empty, fr).count() === 0)
+    assert(Sampling.corpusMix(empty, w).count() === 0)
+    assert(Sampling.packSequences(empty).count() === 0)
+    assert(Sampling.packSequences(empty).columns.toSeq ===
+      Seq("doc_id", "n_tokens", "cum_tokens", "pack_id", "pack_offset"))
+    assert(Sampling.leakageSafeSplit(empty).count() === 0)
+  }
+
   test("packSequences: two-phase scan is bucket-count invariant") {
     val d = docs((0L until 100L).map(i =>
       (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "), "s")): _*)
