@@ -348,6 +348,36 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); q2.stop() }
   }
 
+  test("sample-on-ingest: stratified sampling runs unchanged on a stream, batch-equal") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .as[(Long, String, String, String, Long)].collect().take(60)
+    val fractions = rows.map(_._4).distinct.toSeq
+      .map(s => (s, 0.5)).toDF("source", "fraction")
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val streamDocs = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the hash-u keep decision is a pure per-row projection and the
+    // fraction table is a stream-static broadcast join, so the SAME
+    // operator samples an ingest stream — and determinism means the
+    // streamed sample IS the batch sample (the lineage property holds
+    // across execution modes)
+    val q = graft.ops.Sampling.stratifiedSample(streamDocs, fractions)
+      .writeStream.format("memory").queryName("sample_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(rows.take(30)); q.processAllAvailable()
+      in.addData(rows.drop(30)); q.processAllAvailable()
+      val streamed = spark.table("sample_out").collect().map(_.toSeq).toSet
+      val batch = graft.ops.Sampling.stratifiedSample(
+        rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars"), fractions)
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps one row per text hash") {
     val spark2 = spark
     import spark2.implicits._
