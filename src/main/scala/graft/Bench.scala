@@ -365,11 +365,11 @@ object Bench {
       val sec = time { df = ops.Similarity.ivfTopKTrained(emb, nprobe = 8).localCheckpoint() }
       (sec, recallOf(df))
     }
-    // the >256-centroid BROADCAST probe path (past inlineNlistCap the
-    // literal-inlined projection would stall planning, so production-sized
-    // corpora take this path; fixture-pinned row-identical, benched here):
-    // nlist forced to 300 on this corpus, nprobe 8 for comparability with
-    // the deterministic knob row
+    // a forced LARGE-nlist point (300 cells on this corpus) through the
+    // broadcast probe path — since round 5 the ONLY probe path at any
+    // nlist (measured 2-5x faster than the literal-inlined projection it
+    // replaced as default; see Similarity.ivfProbesWith) — nprobe 8 for
+    // comparability with the deterministic knob row
     val ivfBcastNlist = 300
     val ivfBcast = {
       var df: DataFrame = null
@@ -946,7 +946,7 @@ object Bench {
          || IVF-flat, deterministic, nprobe 8 (knob) | ${f"${ivfKnob._2}%.4f"} | ${f"${ivfKnob._1}%.3f"} |
          || IVF-flat, KMEANS-TRAINED cells, auto nprobe $ivfTrainedNprobe (PRODUCTION DEFAULT, Presets.annTopK) | ${f"${ivfTrained._2}%.4f"} | ${f"${ivfTrained._1}%.3f"} |
          || IVF-flat, KMeans-trained, nprobe 8 (knob) | ${f"${ivfTrained8._2}%.4f"} | ${f"${ivfTrained8._1}%.3f"} |
-         || IVF-flat, nlist=$ivfBcastNlist > inlineNlistCap (BROADCAST probe path), nprobe 8 | ${f"${ivfBcast._2}%.4f"} | ${f"${ivfBcast._1}%.3f"} |
+         || IVF-flat, forced large nlist=$ivfBcastNlist (broadcast probe path — the only probe path since r5), nprobe 8 | ${f"${ivfBcast._2}%.4f"} | ${f"${ivfBcast._1}%.3f"} |
          || int8 scalar-quantized store, EXACT search over reconstructions (storage knob, not an index) | ${f"${quantInt8._2}%.4f"} | ${f"${quantInt8._1}%.3f"} |
          || int8 store + trained IVF at auto params (the COMPOSED production path: quantization loss + index loss vs float brute truth) | ${f"${ivfQuant._2}%.4f"} | ${f"${ivfQuant._1}%.3f"} |
          |

@@ -312,29 +312,39 @@ object Similarity {
     ivfProbesWith(embeddings, cents, np)
   }
 
-  /** Above this many centroids the literal-inlined probe projection would
-    * carry nlist x dims constants through planning — the same driver-side
-    * expression cliff the [[autoTables]] cap avoids (at sqrt(n) cells a
-    * 10^6-vector corpus already wants ~1000 centroids x 64 dims). Past the
-    * cap, [[ivfProbesWith]] switches to the SAME math over a BROADCAST
-    * centroid matrix in one mapPartitions pass: still shuffle-free and
-    * one-scan, just not whole-stage-codegen'd — the standard Spark shape
-    * for a per-row reduction against a large shared constant.
-    * [[OpsSpec]] pins both paths row-identical on the same centroid set. */
-  val inlineNlistCap = 256
-
   /** The probe projection over an explicit centroid set — shared by the
-    * deterministic (oracled) and the KMeans-trained index. Dispatches on
-    * centroid count (see [[inlineNlistCap]]); every oracled configuration
-    * resolves to the inlined codegen'd projection. */
+    * deterministic (oracled) and the KMeans-trained index. Always takes
+    * the BROADCAST mapPartitions path ([[ivfProbesBroadcast]]): measured
+    * at every centroid count it beats the literal-inlined SQL projection
+    * 2-5x (sf0.1, min-of-2: nlist 16 0.26s vs 0.52s, 64 0.23s vs 0.73s,
+    * 200 0.40s vs 1.94s — `Test/runMain graft.ops.DebugIvfPath`), because
+    * the inline form scores cells through an interpreted higher-order
+    * `transform` island while the broadcast form is a tight per-partition
+    * loop; and at sqrt(n) cells a 10^6-vector corpus wants ~1000
+    * centroids x 64 dims, where the inlined literals would also stall
+    * planning. The SQL formulation is kept as [[ivfProbesInline]] — the
+    * oracle-shaped reference implementation the DuckDB CTE mirrors —
+    * and [[OpsSpec]] pins both paths row-identical on the same centroid
+    * set (the correctness bridge from the CTE to the production path). */
   private[ops] def ivfProbesWith(embeddings: DataFrame,
       centroids: Seq[(Long, Array[Double])], nprobe: Int): DataFrame = {
     reg(embeddings)
     if (centroids.isEmpty) // empty corpus: keep schema, emit nothing
       return embeddings.select(col("vec_id"), lit(0L).as("cell"),
         lit(0d).as("cosine"), lit(0).as("probe_rank")).where(lit(false))
-    if (centroids.size > inlineNlistCap)
-      return ivfProbesBroadcast(embeddings, centroids, nprobe)
+    ivfProbesBroadcast(embeddings, centroids, nprobe)
+  }
+
+  /** The SQL-expression formulation of the probe projection (literal
+    * centroid structs + codegen'd dot kernel + an interpreted-HOF
+    * transform/sort/slice): the REFERENCE implementation — it is exactly
+    * the math the DuckDB ivf_probes CTE spells, so the OpsSpec parity
+    * test inline == broadcast is what licenses the faster mapPartitions
+    * path to carry the oracled queries. Not used in production (see
+    * [[ivfProbesWith]] for the measurement). */
+  private[ops] def ivfProbesInline(embeddings: DataFrame,
+      centroids: Seq[(Long, Array[Double])], nprobe: Int): DataFrame = {
+    reg(embeddings)
     val cents = centroids.map { case (id, v) =>
       val nrm = math.sqrt(v.foldLeft(0d)((acc, x) => acc + x * x))
       val arr = v.map(d => s"${java.lang.Double.toString(d)}D").mkString(", ")
@@ -351,12 +361,15 @@ object Similarity {
         (col("col.ncos") * -1d).as("cosine"), (col("pos") + 1).as("probe_rank"))
   }
 
-  /** Large-nlist probe assignment: the centroid matrix rides an executor
+  /** The production probe assignment (every nlist — see [[ivfProbesWith]]
+    * for the measurement): the centroid matrix rides an executor
     * broadcast and each partition scores its rows in a tight loop —
-    * identical math to the inlined projection (index-order double folds,
+    * identical math to [[ivfProbesInline]] (index-order double folds,
     * java BigDecimal HALF_UP rounding like Spark's round(), ties broken by
     * ascending cell), so the two paths are row-identical ON CLEAN ROWS;
-    * only the physical plan differs. Corrupt rows (NULL id/embedding, a
+    * only the physical plan differs. Shuffle-free and one-scan: the
+    * standard Spark shape for a per-row reduction against a large shared
+    * constant. Corrupt rows (NULL id/embedding, a
     * NULL element, a width different from the centroids') are DROPPED
     * before the typed scan — the degrade-don't-crash twin of the inlined
     * path's NULL-dot semantics (graft_dot_fd nulls the cosine there; here

@@ -148,15 +148,17 @@ class OpsSpec extends SparkSpec {
   }
 
   test("IVF broadcast probe path is row-identical to the inlined projection") {
-    // past inlineNlistCap the dispatcher swaps the literal-inlined codegen
-    // projection for a broadcast-matrix mapPartitions pass; same centroid
-    // set must give byte-equal probes (same folds, rounding, tie order)
+    // the production path is the broadcast-matrix mapPartitions pass; the
+    // literal-inlined SQL projection is the oracle-shaped REFERENCE
+    // implementation (it is the math the DuckDB CTE spells) — the same
+    // centroid set must give byte-equal probes (same folds, rounding, tie
+    // order), which is what licenses the fast path to carry the oracles
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = emb.select($"vec_id", $"embedding").orderBy($"vec_id").limit(12)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .toIndexedSeq
-    val inline = Similarity.ivfProbesWith(emb, cents, 3)
+    val inline = Similarity.ivfProbesInline(emb, cents, 3)
       .collect().map(_.toSeq).toSet
     val bcast = Similarity.ivfProbesBroadcast(emb, cents, 3)
       .collect().map(_.toSeq).toSet
