@@ -379,25 +379,27 @@ object Similarity {
       centroids: Seq[(Long, Array[Double])], nprobe: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val cents = centroids.map { case (id, v) =>
       (id, math.sqrt(v.foldLeft(0d)((acc, x) => acc + x * x)), v)
     }.toArray
     val dims = cents.head._3.length
     val bc = spark.sparkContext.broadcast(cents)
-    embeddings.select(col("vec_id"), col("embedding"))
-      .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
-        !exists(col("embedding"), _.isNull) &&
-        size(col("embedding")) === lit(dims))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
+    // dispatch on the element type like the dot kernels: an array<double>
+    // corpus (e.g. the int8 quantize-dequantize roundtrip) folds lossless
+    // doubles; everything else reads floats widened per element. Both
+    // branches share scoreRows so the arithmetic is identical.
+    def scoreRows[T](ds: org.apache.spark.sql.Dataset[(Long, T)])(
+        elem: (T, Int) => Double): DataFrame =
+      ds.mapPartitions { it =>
         val cs = bc.value
         it.flatMap { case (vid, emb) =>
           var acc = 0d; var i = 0
-          while (i < emb.length) { acc += emb(i).toDouble * emb(i).toDouble; i += 1 }
+          while (i < dims) { val x = elem(emb, i); acc += x * x; i += 1 }
           val nrm = math.sqrt(acc)
           val scored = cs.map { case (cell, cnrm, cv) =>
             var d = 0d; var j = 0
-            while (j < dims) { d += emb(j).toDouble * cv(j); j += 1 }
+            while (j < dims) { d += elem(emb, j) * cv(j); j += 1 }
             val cos = java.math.BigDecimal.valueOf(d / (nrm * cnrm))
               .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
             (cos, cell)
@@ -407,6 +409,16 @@ object Similarity {
             .map { case ((cos, cell), idx) => (vid, cell, cos, idx + 1) }
         }
       }.toDF("vec_id", "cell", "cosine", "probe_rank")
+    val clean = embeddings.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+        !exists(col("embedding"), _.isNull) &&
+        size(col("embedding")) === lit(dims))
+    clean.schema("embedding").dataType match {
+      case ArrayType(DoubleType, _) =>
+        scoreRows(clean.as[(Long, Array[Double])])((a, i) => a(i))
+      case _ =>
+        scoreRows(clean.as[(Long, Array[Float])])((a, i) => a(i).toDouble)
+    }
   }
 
   /** IVF probes over KMeans-TRAINED coarse centroids (MLlib, fixed seed)

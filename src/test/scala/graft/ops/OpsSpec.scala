@@ -178,6 +178,17 @@ class OpsSpec extends SparkSpec {
       .collect()
     assert(bcastCorrupt.map(_.toSeq).toSet === bcast)
     assert(!bcastCorrupt.exists(r => r.getLong(0) >= 9001L))
+
+    // an array<double> corpus (the int8 roundtrip shape) takes the
+    // lossless double branch — byte-equal to the inline form, whose dot
+    // kernel dispatches dotDD on the same types
+    val dd = emb.select($"vec_id",
+      $"embedding".cast("array<double>").as("embedding"))
+    val inlineD = Similarity.ivfProbesInline(dd, cents, 3)
+      .collect().map(_.toSeq).toSet
+    val bcastD = Similarity.ivfProbesBroadcast(dd, cents, 3)
+      .collect().map(_.toSeq).toSet
+    assert(inlineD.nonEmpty && inlineD === bcastD)
   }
 
   test("autoNprobe holds the probed fraction as nlist grows, capped at 128") {
