@@ -291,7 +291,8 @@ object Bench {
     val opsHeadline = Seq("q_dedup_exact", "q_lsh_pairs", "q_ngram_jaccard",
       "q_simhash", "q_simhash_neardup", "q_neardup_clusters", "q_decontam",
       "q_keep_set", "q_knn_brute", "q_ann_topk", "q_ivf_topk", "q_embed_neardup",
-      "q_sample_stratified", "q_corpus_mix", "q_pack_sequences")
+      "q_sample_stratified", "q_corpus_mix", "q_pack_sequences",
+      "q_dedup_incremental", "q_shuffle_shards")
     def timeQueries(s: SparkSession, names: Seq[String]): Map[String, Double] =
       names.map { name =>
         val fn = SparkEntry.queries(name)

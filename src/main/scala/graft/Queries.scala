@@ -83,6 +83,11 @@ object Queries {
       TextDedup.lshPairs(documents(s, dir), sigsDf = Some(minhashSigs(s, dir))))
   private def simhashStage(s: SparkSession, dir: String) =
     cachedStage(s, dir, "simhash")(TextDedup.simhash(documents(s, dir)))
+  // full-corpus signature index; per-document rows, so the incremental
+  // split's prior/incoming indexes are FILTERS of this one shared stage
+  private def sigIndexStage(s: SparkSession, dir: String) =
+    cachedStage(s, dir, "sigIndex")(TextDedup.signatureIndex(
+      documents(s, dir), sigsDf = Some(minhashSigs(s, dir))))
 
   // ANN results are memoized so Bench can derive recall@k vs the brute
   // baseline from the same computation it times (no second brute pass).
@@ -163,6 +168,24 @@ object Queries {
         documents(s, dir), pairsDf = Some(lshPairsStage(s, dir)))),
       Some(rawCtes("SELECT doc_id, cluster_id, is_dup FROM neardup_clusters",
         TextDedup.ctes))
+    ),
+
+    // Incremental dedup: a new crawl batch (doc_id % 5 = 0) deduped
+    // against the REST of the corpus represented only by its persisted
+    // signature index — exact-hash + LSH-band probes, founder rule within
+    // the batch, prior text never read. Both subset indexes are filters
+    // of the one memoized full-corpus index (per-document rows).
+    "q_dedup_incremental" -> (
+      ((s: SparkSession, dir: String) => {
+        val idx = sigIndexStage(s, dir)
+        val incoming = documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
+        TextDedup.dedupIncremental(incoming,
+          priorIndex = idx.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          incomingIndexDf = Some(idx.filter(pmod(col("doc_id"), lit(5)) === 0)))
+      }),
+      Some(rawCtes(
+        "SELECT doc_id, reason = 'kept' AS keep, reason FROM incremental_keepset",
+        TextDedup.ctes, TextDedup.incrementalCtes))
     ),
 
     // End-to-end curation verdict: the composed keep/drop decision over
@@ -341,6 +364,14 @@ object Queries {
       }),
       Some(rawCtes("SELECT doc_id, cluster_id, split FROM leakage_split",
         TextDedup.ctes, graft.ops.Sampling.splitCtes))
+    ),
+    // Deterministic training-order shuffle: hash-u shard + sort key as a
+    // zero-shuffle projection (no ORDER BY rand() — retry-safe).
+    "q_shuffle_shards" -> (
+      ((s: SparkSession, dir: String) =>
+        graft.ops.Sampling.shuffleShards(documents(s, dir), numShards = 8)),
+      Some(rawCtes("SELECT doc_id, shard, sort_key FROM shuffle_shards",
+        TextAnalysis.ctes, graft.ops.Sampling.ctes))
     ),
     // End-to-end dataset assembly (Presets.assembleDataset): curation ->
     // leakage-safe split -> train-mix -> packing, every stage the shared

@@ -164,6 +164,38 @@ object Sampling {
           .otherwise("test").as("split"))
   }
 
+  /** Deterministic training-order shuffle + shard assignment: each document
+    * gets a hash-u draw, shard = floor(u * numShards), and u doubles as the
+    * within-shard sort key — so writing shard files in shard order, each
+    * sorted by (sort_key, doc_id), yields one global deterministic
+    * permutation of the corpus (shards partition the u space in order).
+    * The standard "shuffle the corpus before packing" step of dataset
+    * assembly, as a ZERO-shuffle single projection: the writer does
+    * `.repartition(numShards, col("shard")).sortWithinPartitions("sort_key",
+    * "doc_id")` and the only data movement is that final write shuffle.
+    *
+    * Deliberately NOT `ORDER BY rand()`: rand() is re-evaluated on task
+    * retry, so a lost shuffle block can duplicate or drop rows — the
+    * classic nondeterministic-shuffle correctness trap. A pure hash of
+    * (doc_id, salt) survives retries, resumes and re-runs bit-identically,
+    * and re-salting gives a fresh epoch permutation for free.
+    *
+    * shard is exact: u = k/2^32 with k < 2^32, so u * numShards =
+    * k * numShards / 2^32 is exact in IEEE double for numShards ≤ 2^21 and
+    * floors identically on both engines.
+    *
+    * Output: (doc_id, shard, sort_key) with sort_key = round(u, 6). */
+  def shuffleShards(documents: DataFrame, numShards: Int,
+      salt: String = "graft-shuffle"): DataFrame = {
+    require(numShards > 0 && numShards <= (1 << 21),
+      s"numShards must be in [1, 2^21], got $numShards")
+    documents
+      .withColumn("u", hashU(col("doc_id"), salt))
+      .select(col("doc_id"),
+        floor(col("u") * numShards).as("shard"),
+        round(col("u"), 6).as("sort_key"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** DuckDB CTEs over the driver-registered `documents` view. The strata /
@@ -215,6 +247,16 @@ object Sampling {
       |         ((sum(bpe_tokens) OVER w - bpe_tokens) % 512)::BIGINT AS pack_offset
       |  FROM token_counts
       |  WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |),
+      |shuffle_u AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(doc_id::VARCHAR || ':graft-shuffle'), 1, 8))::BIGINT
+      |           / 4294967296.0::DOUBLE AS u
+      |  FROM documents
+      |),
+      |shuffle_shards AS (
+      |  SELECT doc_id, floor(u * 8)::BIGINT AS shard, round(u, 6) AS sort_key
+      |  FROM shuffle_u
       |)""".stripMargin
 
   /** End-to-end dataset-assembly CTEs mirroring

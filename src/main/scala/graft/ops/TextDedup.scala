@@ -78,17 +78,97 @@ object TextDedup {
   def lshPairs(documents: DataFrame, nHashes: Int = 8, rowsPerBand: Int = 2,
                maxBucket: Option[Int] = None,
                sigsDf: Option[DataFrame] = None): DataFrame = {
-    val sigs = sigsDf.getOrElse(minhashSignatures(documents, nHashes))
-      .withColumn("band", (col("j") / rowsPerBand).cast("int"))
-    val all = sigs
-      .groupBy(col("doc_id"), col("band"))
-      .agg(array_join(expr("transform(array_sort(collect_list(struct(j, minhash))), x -> x.minhash)"), ",")
-        .as("bucket_key"))
+    val all = bandBuckets(documents, nHashes, rowsPerBand, sigsDf)
     val buckets = Valves.capGroups(all, Seq("band", "bucket_key"), maxBucket)
     buckets.as("x").join(buckets.as("y"), Seq("band", "bucket_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+  }
+
+  /** Per-doc LSH band bucket keys: (doc_id, band, bucket_key) — the
+    * banded MinHash signature rows [[lshPairs]] self-joins and
+    * [[signatureIndex]] persists. Per-document values (each doc's minimum
+    * over its own shingles), so computing them over any subset of a corpus
+    * equals filtering the full-corpus frame — the property that makes the
+    * incremental-dedup split consistent with the batch oracle. */
+  def bandBuckets(documents: DataFrame, nHashes: Int = 8, rowsPerBand: Int = 2,
+      sigsDf: Option[DataFrame] = None): DataFrame =
+    sigsDf.getOrElse(minhashSignatures(documents, nHashes))
+      .withColumn("band", (col("j") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(j, minhash))), x -> x.minhash)"), ",")
+        .as("bucket_key"))
+
+  /** The persisted dedup signature index of a corpus: (doc_id, kind, key)
+    * with one `kind='exact'` row (key = md5 text hash) and one
+    * `kind='band:<b>'` row per LSH band (key = the band bucket key). This
+    * skinny table — ~5 rows per document, no text — is what a production
+    * pipeline checkpoints (e.g. via [[graft.checkpoint.CheckpointStore]])
+    * so later crawl batches can dedup against a trillion-token corpus
+    * WITHOUT rescanning its text: [[dedupIncremental]] probes only this
+    * index. */
+  def signatureIndex(documents: DataFrame, nHashes: Int = 8,
+      rowsPerBand: Int = 2, sigsDf: Option[DataFrame] = None): DataFrame = {
+    val exact = documents.select(col("doc_id"), lit("exact").as("kind"),
+      md5(col("text")).as("key"))
+    val bands = bandBuckets(documents, nHashes, rowsPerBand, sigsDf)
+      .select(col("doc_id"),
+        concat(lit("band:"), col("band").cast("string")).as("kind"),
+        col("bucket_key").as("key"))
+    exact.unionByName(bands)
+  }
+
+  /** Incremental dedup: keep/drop verdict for a NEW batch of documents
+    * against an existing corpus represented only by its
+    * [[signatureIndex]] — the daily-crawl-vs-curated-corpus mode of
+    * deduplication, where rescanning (or re-pairing) the 100-TB prior
+    * corpus per batch is not an option. One verdict row per incoming doc:
+    * (doc_id, keep, reason) with the first matching reason in priority
+    * order exact_prior > exact_batch > near_prior > near_batch > kept.
+    * Within-batch semantics are the streaming founder rule (a doc drops
+    * iff an EARLIER batch doc shares its hash / a band bucket), so a batch
+    * replayed through [[graft.streaming.StreamingNearDup]] agrees.
+    *
+    * Scale shape: the corpus-sized prior index is SCANNED once and probed
+    * with a broadcast of the new batch's key set (a crawl increment is
+    * small next to the corpus by definition) — the prior corpus never
+    * shuffles and its text is never read. Everything else is keyed by the
+    * incoming batch: one groupBy for founders, hash joins back on doc_id.
+    * Totality by construction: verdicts are left-joined onto the incoming
+    * docs with false defaults, so every input doc gets exactly one row. */
+  def dedupIncremental(incoming: DataFrame, priorIndex: DataFrame,
+      nHashes: Int = 8, rowsPerBand: Int = 2,
+      incomingIndexDf: Option[DataFrame] = None): DataFrame = {
+    val newIdx = incomingIndexDf.getOrElse(
+      signatureIndex(incoming, nHashes, rowsPerBand))
+    val newKeys = newIdx.select(col("kind"), col("key")).distinct()
+    val priorHits = priorIndex.join(broadcast(newKeys), Seq("kind", "key"), "left_semi")
+      .select(col("kind"), col("key")).distinct()
+    val hitNew = newIdx.join(priorHits, Seq("kind", "key"))
+    def flag(df: DataFrame, name: String) =
+      df.select(col("doc_id")).distinct().withColumn(name, lit(true))
+    val exactPrior = flag(hitNew.filter(col("kind") === "exact"), "exact_prior")
+    val nearPrior = flag(hitNew.filter(col("kind") =!= "exact"), "near_prior")
+    // founder rule inside the batch: min doc_id per signature key
+    val founders = newIdx.groupBy(col("kind"), col("key"))
+      .agg(min(col("doc_id")).as("founder"))
+    val batchDup = newIdx.join(founders, Seq("kind", "key"))
+      .filter(col("doc_id") =!= col("founder"))
+    val exactBatch = flag(batchDup.filter(col("kind") === "exact"), "exact_batch")
+    val nearBatch = flag(batchDup.filter(col("kind") =!= "exact"), "near_batch")
+    incoming.select(col("doc_id"))
+      .join(exactPrior, Seq("doc_id"), "left")
+      .join(exactBatch, Seq("doc_id"), "left")
+      .join(nearPrior, Seq("doc_id"), "left")
+      .join(nearBatch, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(coalesce(col("exact_prior"), lit(false)), "exact_prior")
+          .when(coalesce(col("exact_batch"), lit(false)), "exact_batch")
+          .when(coalesce(col("near_prior"), lit(false)), "near_prior")
+          .when(coalesce(col("near_batch"), lit(false)), "near_batch")
+          .otherwise("kept"))
+      .select(col("doc_id"), (col("reason") === "kept").as("keep"), col("reason"))
   }
 
   /** Exact word-3-gram Jaccard for LSH-surviving pairs:
@@ -343,5 +423,64 @@ object TextDedup {
       |  JOIN simhash_bands y ON x.band = y.band AND x.chunk = y.chunk
       |  WHERE x.doc_id < y.doc_id
       |    AND bit_count(xor(x.simhash, y.simhash)) <= 3
+      |)""".stripMargin
+
+  /** Incremental-dedup CTEs mirroring [[dedupIncremental]] with the test
+    * split prior = doc_id % 5 <> 0, incoming = doc_id % 5 = 0. Composes
+    * after [[ctes]] (uses lsh_buckets). Band bucket keys and text hashes
+    * are per-document, so splitting the full-corpus frames by the modulo
+    * equals indexing each subset separately — the same argument as the
+    * Spark side's filtered shared index. */
+  val incrementalCtes: String =
+    """inc_prior AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 5 <> 0
+      |),
+      |inc_new AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+      |),
+      |inc_hash AS (
+      |  SELECT doc_id, md5(text) AS text_hash FROM documents
+      |),
+      |inc_exact_prior AS (
+      |  SELECT DISTINCT n.doc_id
+      |  FROM inc_new n
+      |  JOIN inc_hash hn ON hn.doc_id = n.doc_id
+      |  JOIN inc_hash hp ON hp.text_hash = hn.text_hash
+      |  JOIN inc_prior p ON p.doc_id = hp.doc_id
+      |),
+      |inc_exact_batch AS (
+      |  SELECT DISTINCT n.doc_id
+      |  FROM inc_new n
+      |  JOIN inc_hash hn ON hn.doc_id = n.doc_id
+      |  JOIN inc_hash ho ON ho.text_hash = hn.text_hash AND ho.doc_id < n.doc_id
+      |  JOIN inc_new n2 ON n2.doc_id = ho.doc_id
+      |),
+      |inc_near_prior AS (
+      |  SELECT DISTINCT x.doc_id
+      |  FROM lsh_buckets x
+      |  JOIN inc_new n ON n.doc_id = x.doc_id
+      |  JOIN lsh_buckets y ON y.band = x.band AND y.bucket_key = x.bucket_key
+      |  JOIN inc_prior p ON p.doc_id = y.doc_id
+      |),
+      |inc_near_batch AS (
+      |  SELECT DISTINCT x.doc_id
+      |  FROM lsh_buckets x
+      |  JOIN inc_new nx ON nx.doc_id = x.doc_id
+      |  JOIN lsh_buckets y ON y.band = x.band AND y.bucket_key = x.bucket_key
+      |                    AND y.doc_id < x.doc_id
+      |  JOIN inc_new ny ON ny.doc_id = y.doc_id
+      |),
+      |incremental_keepset AS (
+      |  SELECT n.doc_id,
+      |         CASE WHEN ep.doc_id IS NOT NULL THEN 'exact_prior'
+      |              WHEN eb.doc_id IS NOT NULL THEN 'exact_batch'
+      |              WHEN np.doc_id IS NOT NULL THEN 'near_prior'
+      |              WHEN nb.doc_id IS NOT NULL THEN 'near_batch'
+      |              ELSE 'kept' END AS reason
+      |  FROM inc_new n
+      |  LEFT JOIN inc_exact_prior ep ON ep.doc_id = n.doc_id
+      |  LEFT JOIN inc_exact_batch eb ON eb.doc_id = n.doc_id
+      |  LEFT JOIN inc_near_prior np ON np.doc_id = n.doc_id
+      |  LEFT JOIN inc_near_batch nb ON nb.doc_id = n.doc_id
       |)""".stripMargin
 }

@@ -51,6 +51,54 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) === (4L, false))
   }
 
+  test("incremental dedup: prior-index probes + founder rule, total, priority order") {
+    // texts A~B, C~D verified to share LSH bands (band keys are pure
+    // functions of text, precomputed with the same md5 math)
+    val A = "the quick brown fox jumps over the lazy dog today"
+    val B = "the quick brown fox jumps over the lazy dog tonight"
+    val C = "sphinx of black quartz judge my vow this fine morning"
+    val D = "sphinx of black quartz judge my vow this fine evening"
+    val G = "completely different words entirely unrelated to anything else written"
+    val prior = docs((1L, A), (2L, "some prior unique corpus text that nothing matches at all"))
+    val incoming = docs(
+      (100L, A), // exact text hit against the prior index
+      (101L, B), // shares a band with prior A, not exact
+      (102L, C), // founder of the C/D batch pair
+      (103L, D), // shares a band with EARLIER batch doc 102 only
+      (104L, C), // identical to earlier 102 (exact beats near in priority)
+      (105L, G), // clean
+      (106L, A)) // exact_prior wins over exact_batch-vs-100
+    val priorIdx = TextDedup.signatureIndex(prior)
+    val out = TextDedup.dedupIncremental(incoming, priorIdx)
+      .as[(Long, Boolean, String)].collect()
+    val reasons = out.map(r => r._1 -> r._3).toMap
+    assert(reasons === Map(
+      100L -> "exact_prior", 101L -> "near_prior", 102L -> "kept",
+      103L -> "near_batch", 104L -> "exact_batch", 105L -> "kept",
+      106L -> "exact_prior"))
+    assert(out.forall(r => r._2 === (r._3 == "kept")))
+    // cross-check against a locally recomputed reference over the two
+    // signature indexes — pins the semantics independent of fixture luck
+    val pi = priorIdx.as[(Long, String, String)].collect()
+    val ni = TextDedup.signatureIndex(incoming).as[(Long, String, String)].collect()
+    val priorKeys = pi.map(r => (r._2, r._3)).toSet
+    def expected(id: Long): String = {
+      val mine = ni.filter(_._1 == id)
+      def hitsPrior(kind: Long => Boolean) = // kind: true for exact rows
+        mine.exists(e => kind(if (e._2 == "exact") 1L else 0L) &&
+          priorKeys((e._2, e._3)))
+      def hitsEarlier(kind: Long => Boolean) =
+        mine.exists(e => kind(if (e._2 == "exact") 1L else 0L) &&
+          ni.exists(o => o._1 < id && o._2 == e._2 && o._3 == e._3))
+      if (hitsPrior(_ == 1L)) "exact_prior"
+      else if (hitsEarlier(_ == 1L)) "exact_batch"
+      else if (hitsPrior(_ == 0L)) "near_prior"
+      else if (hitsEarlier(_ == 0L)) "near_batch"
+      else "kept"
+    }
+    reasons.foreach { case (id, r) => assert(r === expected(id), s"doc $id") }
+  }
+
   test("decontamination: shared-shingle counts against a benchmark corpus") {
     val corpus = docs(
       (1L, "alpha beta gamma delta epsilon"), // contains the benchmark run

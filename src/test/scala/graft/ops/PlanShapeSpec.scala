@@ -99,6 +99,24 @@ class PlanShapeSpec extends SparkSpec {
       s"the split is one hash projection — no shuffle; plan:\n$plan")
   }
 
+  test("shuffleShards: zero-shuffle projection") {
+    val plan = physical(Sampling.shuffleShards(docs, 8))
+    assert(countExchanges(plan) == 0,
+      s"the shuffle assignment is one hash projection — no shuffle; plan:\n$plan")
+  }
+
+  test("dedupIncremental: prior index probed via broadcast, no Window, no cartesian") {
+    val idx = TextDedup.signatureIndex(docs)
+    val plan = physical(TextDedup.dedupIncremental(
+      docs.filter("doc_id % 5 = 0"),
+      priorIndex = idx.filter("doc_id % 5 <> 0"),
+      incomingIndexDf = Some(idx.filter("doc_id % 5 = 0"))))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the corpus-sized prior index must be probed with broadcast new-batch keys; plan:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"plan:\n$plan")
+  }
+
   test("lang-id / quality / token-count / fingerprint are single-scan, zero-shuffle") {
     Seq(
       TextAnalysis.langId(docs),

@@ -106,6 +106,29 @@ class SamplingSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("shuffleShards: total, balanced, deterministic; shard order = global u order") {
+    val d = corpus(4000, _ => "s")
+    val out = Sampling.shuffleShards(d, numShards = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length === 4000 && out.map(_._1).distinct.length === 4000) // total
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    val byShard = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byShard.size === 8)
+    assert(byShard.values.forall(c => c > 350 && c < 650), s"skewed: $byShard")
+    // shard boundaries partition the u space: concatenating shards in order,
+    // each sorted by sort_key, is one global permutation
+    val shardMax = out.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val shardMin = out.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    (0L until 7L).foreach(s => assert(shardMax(s) <= shardMin(s + 1)))
+    // deterministic rerun; a different salt yields a different permutation
+    val again = Sampling.shuffleShards(d, 8).as[(Long, Long, Double)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    val other = Sampling.shuffleShards(d, 8, salt = "epoch-2")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    val moved = out.count(r => other(r._1) != r._2)
+    assert(moved > 3000, s"re-salting must redraw shards (moved $moved)")
+  }
+
   test("empty corpus: every assembly op returns empty with schema, no NPE") {
     val empty = docs().limit(0)
     val fr = Seq(("s", 0.5)).toDF("source", "fraction")
