@@ -276,6 +276,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("verified streaming semantics at bucket size > 2: founder star inside batch clique, same dup verdicts") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1735689600000L
+    def ts(min: Int) = new Timestamp(t0 + min * 60000L)
+    // a 4-doc identical group (founder 1 arrives first, 2/3/4 across later
+    // micro-batches), plus noise: at size > 2 the streaming output is the
+    // founder STAR, not the batch clique — the documented contract is
+    // (a) star SUBSET OF clique, (b) identical per-doc dup verdicts after
+    // the batch side's cluster reduction, (c) every pair names the founder
+    val g = "the quick brown fox jumps over the lazy dog in the morning sun"
+    val all = Seq((1L, g), (2L, g), (3L, g), (4L, g),
+      (5L, "completely unrelated text about database engines and storage"))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingNearDup.simhashNearDupsVerified(
+      in.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("shv_star_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, g, ts(0)))
+      q.processAllAvailable()
+      in.addData((2L, g, ts(1)), (5L, all(4)._2, ts(1)))
+      q.processAllAvailable()
+      in.addData((3L, g, ts(2)), (4L, g, ts(2)))
+      q.processAllAvailable()
+      val streamed = spark.table("shv_star_out").distinct()
+        .as[(Long, Long, Int)].collect().toSet
+      val batchDocs = all.toDF("doc_id", "text")
+      val batch = graft.ops.TextDedup.simhashNearDups(batchDocs)
+        .as[(Long, Long, Int)].collect().toSet
+      // (a) star within clique: every streamed pair is a true batch pair
+      assert(streamed.subsetOf(batch), s"streamed $streamed not in batch $batch")
+      // (c) star shape: the founder (first arrival, doc 1) is an endpoint
+      // of every streamed pair
+      assert(streamed === Set((1L, 2L, 0), (1L, 3L, 0), (1L, 4L, 0)))
+      assert(batch.map(p => (p._1, p._2)) ===
+        Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+      // (b) the verdicts agree: docs flagged as dups downstream (streaming:
+      // non-founder pair members; batch: non-representative cluster members)
+      val streamFlagged = streamed.map(_._2)
+      val batchFlagged = graft.ops.TextDedup.nearDupClusters(batchDocs,
+        pairsDf = Some(graft.ops.TextDedup.simhashNearDups(batchDocs)
+          .select($"a", $"b")))
+        .filter($"is_dup").select($"doc_id").as[Long].collect().toSet
+      assert(streamFlagged === batchFlagged && streamFlagged === Set(2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming VERIFIED embedding near-dups equal batch embedNearDups at threshold") {
     val spark2 = spark
     import spark2.implicits._
