@@ -237,6 +237,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch incremental dedup agrees with the streaming founder path on a prior-then-batch replay") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1735689600000L
+    def ts(min: Int) = new Timestamp(t0 + min * 60000L)
+    // the same MinHash band keys drive both paths, and both apply the
+    // founder rule — so replaying prior-then-incoming through the stream
+    // must flag exactly the docs the batch incremental op drops (fixture
+    // has no exact dups, so every drop is a near reason). A~B and C~D
+    // share LSH bands (precomputed md5 parity, as in OpsSpec).
+    val A = "the quick brown fox jumps over the lazy dog today"
+    val B = "the quick brown fox jumps over the lazy dog tonight"
+    val C = "sphinx of black quartz judge my vow this fine morning"
+    val D = "sphinx of black quartz judge my vow this fine evening"
+    val G = "completely different words entirely unrelated to anything else written"
+    def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val prior = docsDf((1L, A), (2L, "some prior unique corpus text that nothing matches at all"))
+    val incoming = docsDf((101L, B), (102L, C), (103L, D), (105L, G))
+    val batchDropped = graft.ops.TextDedup.dedupIncremental(
+      incoming, graft.ops.TextDedup.signatureIndex(prior))
+      .filter(!$"keep").select($"doc_id", $"reason")
+      .as[(Long, String)].collect().toMap
+    assert(batchDropped === Map(101L -> "near_prior", 103L -> "near_batch"))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingNearDup.nearDups(in.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("inc_replay_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, A, ts(0)),
+        (2L, "some prior unique corpus text that nothing matches at all", ts(0)))
+      q.processAllAvailable()
+      in.addData((101L, B, ts(1)), (102L, C, ts(1)), (103L, D, ts(1)), (105L, G, ts(1)))
+      q.processAllAvailable()
+      val streamFlagged = spark.table("inc_replay_out")
+        .filter($"doc_id" >= 100L).select($"doc_id").as[Long].collect().toSet
+      assert(streamFlagged === batchDropped.keySet,
+        s"stream flagged $streamFlagged, batch dropped ${batchDropped.keySet}")
+    } finally q.stop()
+  }
+
   test("streaming VERIFIED simhash near-dups equal the batch operator's pair set") {
     val spark2 = spark
     import spark2.implicits._
