@@ -129,7 +129,10 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed.join(broadcast(offsets), Seq("bkt"))
       .withColumn("cum_tokens", col("off") + sum(col("n_tokens")).over(local))
-      .withColumn("pack_id", ((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
+      // `div`, not `/`: Spark's / casts longs to double, which rounds near
+      // 2^53 cumulative tokens — integer division matches the oracle's //
+      // at any corpus size
+      .withColumn("pack_id", expr(s"(cum_tokens - n_tokens) div ${budget}L"))
       .withColumn("pack_offset", (col("cum_tokens") - col("n_tokens")) % budget)
       .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
         col("pack_id"), col("pack_offset"))

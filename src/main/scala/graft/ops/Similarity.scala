@@ -307,7 +307,10 @@ object Similarity {
     val np = if (nprobe > 0) nprobe else autoNprobe(nl)
     val cents = embeddings.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(nl).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      // boxed java.lang.Float OR java.lang.Double elements — the probe
+      // path accepts array<double> corpora (quantize roundtrips), so the
+      // centroid fetch must too
+      .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue()).toArray))
       .toIndexedSeq
     ivfProbesWith(embeddings, cents, np)
   }
@@ -370,7 +373,8 @@ object Similarity {
     * only the physical plan differs. Shuffle-free and one-scan: the
     * standard Spark shape for a per-row reduction against a large shared
     * constant. Corrupt rows (NULL id/embedding, a
-    * NULL element, a width different from the centroids') are DROPPED
+    * NULL element, a width different from the centroids', a zero-norm
+    * vector — no cosine to anything) are DROPPED
     * before the typed scan — the degrade-don't-crash twin of the inlined
     * path's NULL-dot semantics (graft_dot_fd nulls the cosine there; here
     * a NULL would NPE the primitive-array encoder and a ragged row would
@@ -380,10 +384,13 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val dims = centroids.head._2.length
+    // a zero-norm centroid cannot score any row by cosine (0/0) — skip
+    // the cell entirely rather than divide by zero (under ANSI mode even
+    // double division by zero raises)
     val cents = centroids.map { case (id, v) =>
       (id, math.sqrt(v.foldLeft(0d)((acc, x) => acc + x * x)), v)
-    }.toArray
-    val dims = cents.head._3.length
+    }.filter(_._2 > 0d).toArray
     val bc = spark.sparkContext.broadcast(cents)
     // dispatch on the element type like the dot kernels: an array<double>
     // corpus (e.g. the int8 quantize-dequantize roundtrip) folds lossless
@@ -397,16 +404,26 @@ object Similarity {
           var acc = 0d; var i = 0
           while (i < dims) { val x = elem(emb, i); acc += x * x; i += 1 }
           val nrm = math.sqrt(acc)
-          val scored = cs.map { case (cell, cnrm, cv) =>
-            var d = 0d; var j = 0
-            while (j < dims) { d += elem(emb, j) * cv(j); j += 1 }
-            val cos = java.math.BigDecimal.valueOf(d / (nrm * cnrm))
-              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-            (cos, cell)
+          // a zero-norm row has no cosine to any cell: corrupt, dropped
+          // like the NULL/ragged rows (BigDecimal.valueOf(0/0 = NaN)
+          // would otherwise throw and kill the job)
+          if (nrm == 0d) Iterator.empty
+          else {
+            val scored = cs.map { case (cell, cnrm, cv) =>
+              var d = 0d; var j = 0
+              while (j < dims) { d += elem(emb, j) * cv(j); j += 1 }
+              // finite-guard is defense in depth (overflow to Infinity)
+              val raw = d / (nrm * cnrm)
+              val cos = if (java.lang.Double.isFinite(raw))
+                java.math.BigDecimal.valueOf(raw)
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              else raw
+              (cos, cell)
+            }
+            scored.sortBy { case (cos, cell) => (-cos, cell) }
+              .take(nprobe).iterator.zipWithIndex
+              .map { case ((cos, cell), idx) => (vid, cell, cos, idx + 1) }
           }
-          scored.sortBy { case (cos, cell) => (-cos, cell) }
-            .take(nprobe).iterator.zipWithIndex
-            .map { case ((cos, cell), idx) => (vid, cell, cos, idx + 1) }
         }
       }.toDF("vec_id", "cell", "cosine", "probe_rank")
     val clean = embeddings.select(col("vec_id"), col("embedding"))
@@ -514,7 +531,9 @@ object Similarity {
         when(col("scale") === 0, lit(0))
           .otherwise(floor(col("x").cast("double") / col("scale") + lit(0.5))
             .cast("int")).as("code"),
-        round(col("scale"), 6).as("scale_r"))
+        // same half-up floor spelling as the codes: the engines' native
+        // round() can disagree on shortest-repr half-way ties
+        (floor(col("scale") * lit(1e6) + lit(0.5)) / lit(1e6)).as("scale_r"))
 
   /** Quantize-dequantize roundtrip: embeddings with each component snapped
     * to its int8 reconstruction (code * scale, as array<double> — the
@@ -668,7 +687,7 @@ object Similarity {
       |         CASE WHEN scale = 0 THEN 0
       |              ELSE floor((embedding[d]::DOUBLE) / scale + 0.5::DOUBLE)::INT
       |         END AS code,
-      |         round(scale, 6) AS scale_r
+      |         floor(scale * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE AS scale_r
       |  FROM (SELECT vec_id, embedding, scale,
       |               unnest(generate_series(1, len(embedding))) AS d
       |        FROM quant_scale)

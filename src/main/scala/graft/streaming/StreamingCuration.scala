@@ -114,7 +114,15 @@ object StreamingCuration {
       .select(Seq(col("doc_id"), col("ts"), col("text"), col("sh"))
         ++ signalCols ++ sigCols: _*)
       .withColumn("bb", explode(concat(
-        array(struct(lit(-1).as("band"), md5(col("text")).as("bucket_key"))),
+        // a NULL text hashes to a NULL key, which the batch twin's
+        // equi-join on (band, key) would silently drop — breaking its
+        // totality contract while the stream (groupByKey tolerates null)
+        // still verdicts the doc. Give each null-text doc a UNIQUE anchor
+        // so it is always its own founder on BOTH paths, matching the
+        // batch Curation verdict (null-text docs are never exact-flagged).
+        array(struct(lit(-1).as("band"),
+          coalesce(md5(col("text")),
+            concat(lit("null:"), col("doc_id"))).as("bucket_key"))),
         filter(bandArr, _ => size(col("sh")) > 0))))
       .select(Seq(col("doc_id"), col("ts"), col("bb.band").as("band"),
         col("bb.bucket_key").as("key")) ++ signalCols: _*)

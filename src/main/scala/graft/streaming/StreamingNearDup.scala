@@ -41,6 +41,13 @@ object StreamingNearDup {
   private[streaming] def h32sql(e: String) =
     s"cast(conv(substring(md5($e), 1, 8), 16, 10) as bigint)"
 
+  /** Full-precision event-time ordering key: TimestampType is microsecond,
+    * but Timestamp.getTime truncates to milliseconds — ordering by getTime
+    * alone would tie sub-millisecond arrivals and break on doc_id where
+    * the batch twin's min(struct(ts, doc_id)) breaks on the microsecond. */
+  private[streaming] def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   /** THE founder-per-bucket state fold, shared by every streaming dedup
     * path (MinHash / SimHash / embedding near-dups and the curation
     * verdict): rows of one bucket group arrive per micro-batch, are
@@ -55,7 +62,7 @@ object StreamingNearDup {
       rows: Iterator[R], state: GroupState[FounderState]): Iterator[O] = {
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
-      val sorted = rows.toSeq.sortBy(r => (tsOf(r).getTime, idOf(r)))
+      val sorted = rows.toSeq.sortBy(r => (micros(tsOf(r)), idOf(r)))
       var st = state.getOption
       val out = Seq.newBuilder[O]
       sorted.foreach { r =>
@@ -88,7 +95,7 @@ object StreamingNearDup {
       rows: Iterator[R], state: GroupState[(Long, Long, P)]): Iterator[O] = {
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
-      val sorted = rows.toSeq.sortBy(r => (tsOf(r).getTime, idOf(r)))
+      val sorted = rows.toSeq.sortBy(r => (micros(tsOf(r)), idOf(r)))
       var st = state.getOption
       val out = Seq.newBuilder[O]
       sorted.foreach { r =>
@@ -327,8 +334,14 @@ object StreamingNearDup {
       nb += b(i).toDouble * b(i).toDouble
       i += 1
     }
-    java.math.BigDecimal.valueOf(d / (math.sqrt(na) * math.sqrt(nb)))
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // a zero-norm vector yields NaN, which must DEGRADE (fails any
+    // >= minCosine check) exactly like the batch round() — BigDecimal
+    // .valueOf(NaN) would throw and poison-pill the streaming query
+    val raw = d / (math.sqrt(na) * math.sqrt(nb))
+    if (java.lang.Double.isFinite(raw))
+      java.math.BigDecimal.valueOf(raw)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    else raw
   }
 
   /** Streaming embedding near-dups WITH the cosine verify closed in-stream:

@@ -237,6 +237,26 @@ class OpsSpec extends SparkSpec {
     val bcastD = Similarity.ivfProbesBroadcast(dd, cents, 3)
       .collect().map(_.toSeq).toSet
     assert(inlineD.nonEmpty && inlineD === bcastD)
+
+    // the deterministic entry point (centroid fetch included) must also
+    // take array<double> corpora — the quantize roundtrip is one
+    assert(Similarity.ivfProbes(dd, nlist = 4, nprobe = 2).count() > 0)
+
+    // a zero-norm ROW has no cosine to any cell (0/0 — the inline path
+    // raises DIVIDE_BY_ZERO under ANSI mode, BigDecimal.valueOf(NaN)
+    // would throw in the loop): corrupt, DROPPED like NULL/ragged rows
+    val withZeroRow = emb.select($"vec_id", $"embedding").unionByName(
+      spark.sql("SELECT 9100L AS vec_id, transform(sequence(0, 63), i -> cast(0 as float)) AS embedding"))
+    val bcastZ = Similarity.ivfProbesBroadcast(withZeroRow, cents, 3)
+      .collect().map(_.toSeq).toSet
+    assert(bcastZ === bcast) // zero-norm row dropped, clean rows untouched
+
+    // a zero-norm CENTROID can score no row: the cell is skipped entirely
+    // (never probed), leaving every other assignment unchanged
+    val withZeroCent = cents :+ (9999L, Array.fill(64)(0.0))
+    val bcastZC = Similarity.ivfProbesBroadcast(emb, withZeroCent, 3)
+      .collect().map(_.toSeq).toSet
+    assert(bcastZC === bcast && bcastZC.nonEmpty)
   }
 
   test("autoNprobe holds the probed fraction as nlist grows, capped at 128") {

@@ -67,6 +67,32 @@ class FounderFoldSpec extends AnyFunSuite {
     assert(st.get === FounderState(1L, 3000L))
   }
 
+  test("sub-millisecond event times order at microsecond precision, like min(struct(ts, id))") {
+    // same millisecond, doc 9 at 100us, doc 3 at 900us: ordering by
+    // Timestamp.getTime alone would tie and founder the lower id (3);
+    // the batch twin's min(struct(ts, doc_id)) founders the us-earlier 9
+    def tsU(ms: Long, us: Int) = {
+      val t = new Timestamp(ms)
+      t.setNanos((t.getNanos / 1000000) * 1000000 + us * 1000)
+      t
+    }
+    val st = state(None)
+    val out = fold(Seq(
+      BucketRow(3L, 0, "k", tsU(1000L, 900)),
+      BucketRow(9L, 0, "k", tsU(1000L, 100))), st)
+    assert(out === List(DupOut(3L, 9L, 0, "k")))
+    assert(st.get.founder === 9L)
+  }
+
+  test("cosine6 degrades to NaN on a zero-norm vector instead of throwing") {
+    val z = Array(0f, 0f, 0f)
+    val v = Array(1f, 2f, 3f)
+    assert(StreamingNearDup.cosine6(z, v).isNaN)
+    assert(StreamingNearDup.cosine6(v, z).isNaN)
+    assert(!(StreamingNearDup.cosine6(z, v) >= 0.3)) // fails any threshold
+    assert(StreamingNearDup.cosine6(v, v) === 1.0)
+  }
+
   test("timed-out bucket state is removed and emits nothing") {
     val st = state(Some(FounderState(1L, 1000L)), timedOut = true)
     assert(fold(Nil, st) === Nil)

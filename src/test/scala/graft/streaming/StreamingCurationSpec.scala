@@ -147,4 +147,26 @@ class StreamingCurationSpec extends SparkSpec {
     assert(got === Map(1L -> "kept", 2L -> "exact_dup", 3L -> "near_dup",
       4L -> "lang", 5L -> "quality", 6L -> "repetition", 7L -> "contaminated"))
   }
+
+  test("keepSetBatch verdicts NULL-text docs (totality) — never exact-merged") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docA = "the alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra"
+    val benchDf = Seq((100L, "nothing shared at all here truly")).toDF("doc_id", "text")
+    // md5(NULL) is NULL: without a per-doc anchor fallback the batch
+    // twin's equi-join on (band, key) silently drops the doc — while the
+    // streaming groupByKey still verdicts it (parity + totality break)
+    val docs = Seq((1L, docA), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_seconds(col("doc_id")))
+    val got = StreamingCuration.keepSetBatch(docs, benchDf)
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.keySet === Set(1L, 2L, 3L), s"totality broken: $got")
+    assert(got(1L) === "kept")
+    // two null-text docs are each their own founder (unique anchors): not
+    // exact-flagged — unscorable signals fail them with a named reason
+    assert(got(2L) === "lang" && got(3L) === "lang")
+  }
 }
