@@ -129,7 +129,7 @@ object Bench {
     * n isolates the INDEX's behavior — exactly the self-scaling claim under
     * test. Fully deterministic (pure function of (id, dim)), no external
     * data. */
-  private def synthEmbeddings(spark: SparkSession, n: Int, dims: Int = 64,
+  private[graft] def synthEmbeddings(spark: SparkSession, n: Int, dims: Int = 64,
       clusterSize: Int = 20, noise: Double = 1.2): DataFrame = {
     import spark.implicits._
     spark.range(n.toLong).repartition(32).map { id =>

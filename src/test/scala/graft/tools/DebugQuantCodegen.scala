@@ -22,20 +22,11 @@ object DebugQuantCodegen {
         println(s"FAIL $name: ${e.getClass.getSimpleName}: " +
           e.getMessage.linesIterator.take(2).mkString(" | ")) }
     probe("lshSignatures")(ops.Similarity.lshSignatures(emb).count())
-    locally { // the recall-vs-n synthetic family at its largest point
+    locally { // the recall-vs-n synthetic family at its largest point —
+      // the ONE generator Bench measures with (constants and hash family
+      // included), so this probe cannot drift from what the bench runs
       import spark.implicits._
-      def hashUnit(key: String): Double = {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(key.getBytes("UTF-8")).take(4)
-          .map(b => f"$b%02x").mkString
-        java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 * 2.0 - 1.0
-      }
-      val synth = spark.range(50000L).repartition(32).map { id =>
-        val c = id / 20
-        val v = Array.tabulate(64)(d =>
-          (hashUnit(s"c:$c:$d") + 1.2 * hashUnit(s"v:$id:$d")).toFloat)
-        (id, v)
-      }.toDF("vec_id", "embedding").localCheckpoint()
+      val synth = Bench.synthEmbeddings(spark, 50000).localCheckpoint()
       probe("annCandidates(synth50k)")(
         ops.Similarity.annCandidates(synth).count())
       // the inline-IVF path at its widest (autoNlist(50000) = 223 <= 256
