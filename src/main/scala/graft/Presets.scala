@@ -107,11 +107,15 @@ object Presets {
   def assembleDataset(documents: DataFrame, benchmark: DataFrame,
       weights: DataFrame, budget: Long = 2048): DataFrame = {
     val (shingles, pairs) = dedupChain(documents)
+    // the iterative CC stage runs ONCE: the same checkpointed cluster
+    // frame feeds both the verdict's near_dup flag and the split units
+    val clusters = TextDedup.nearDupClusters(documents, pairsDf = Some(pairs))
+      .localCheckpoint()
     val verdict = Curation.keepSet(documents, benchmark,
-      pairsDf = Some(pairs), shinglesDf = Some(shingles))
+      pairsDf = Some(pairs), shinglesDf = Some(shingles),
+      clustersDf = Some(clusters))
     val kept = documents.join(
       verdict.filter(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val clusters = TextDedup.nearDupClusters(documents, pairsDf = Some(pairs))
     val split = Sampling.leakageSafeSplit(documents, clustersDf = Some(clusters))
       .select(col("doc_id"), col("split"))
     val keptSplit = kept.join(split, Seq("doc_id")).localCheckpoint()

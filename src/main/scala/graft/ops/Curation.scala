@@ -30,18 +30,23 @@ object Curation {
     * — a doc the analyzers could not score is dropped with a named
     * reason, never kept unexamined.
     *
-    * `pairsDf`/`shinglesDf` inject checkpointed upstream stages (see the
-    * Queries memoizer) so the LSH chain is not recomputed per signal. */
+    * `pairsDf`/`shinglesDf`/`clustersDf` inject checkpointed upstream
+    * stages (see the Queries memoizer) so the LSH chain is not recomputed
+    * per signal; `clustersDf` additionally lets a pipeline that needs the
+    * near-dup clusters ELSEWHERE (e.g. the leakage-safe split in
+    * [[graft.Presets.assembleDataset]]) run the iterative
+    * connected-components stage exactly once. */
   def keepSet(documents: DataFrame, benchmark: DataFrame,
       minQuality: Double = 0.5,
       maxTopWordRatio: Double = 0.2,
       maxDup3GramRatio: Double = 0.2,
       keepLang: String = "en",
       pairsDf: Option[DataFrame] = None,
-      shinglesDf: Option[DataFrame] = None): DataFrame = {
+      shinglesDf: Option[DataFrame] = None,
+      clustersDf: Option[DataFrame] = None): DataFrame = {
     val e = TextDedup.exactDups(documents)
       .select(col("doc_id"), col("is_dup").as("exact_dup"))
-    val n = TextDedup.nearDupClusters(documents, pairsDf)
+    val n = clustersDf.getOrElse(TextDedup.nearDupClusters(documents, pairsDf))
       .select(col("doc_id"), col("is_dup").as("near_dup"))
     val l = TextAnalysis.langId(documents)
       .select(col("doc_id"), col("lang_pred"))

@@ -39,6 +39,19 @@ object Sampling {
     conv(substring(md5(concat_ws(":", key.cast("string"), lit(salt))), 1, 8),
       16, 10).cast("double") / lit(4294967296.0)
 
+  /** THE keep-decision scan shared by [[stratifiedSample]] and
+    * [[corpusMix]]: hash-u draw per doc, broadcast join against the tiny
+    * per-source fraction table, keep iff u < fraction — one scan, the
+    * corpus never shuffles. Kept in one place so the sampling rule (salt
+    * handling, join type, fraction semantics) cannot silently diverge
+    * between the two operators. */
+  private def sampleByFractions(documents: DataFrame, fractions: DataFrame,
+      salt: String): DataFrame =
+    documents
+      .withColumn("u", hashU(col("doc_id"), salt))
+      .join(broadcast(fractions), Seq("source"))
+      .filter(col("u") < col("fraction"))
+
   /** Per-stratum deterministic subsample: keep a document iff its hash-u is
     * below its stratum's fraction. `fractions` is a tiny (stratum, fraction)
     * table — broadcast-joined, so the corpus never shuffles; a stratum
@@ -49,10 +62,7 @@ object Sampling {
     * compare convention (Queries.scala:11). */
   def stratifiedSample(documents: DataFrame, fractions: DataFrame,
       salt: String = "graft"): DataFrame =
-    documents
-      .withColumn("u", hashU(col("doc_id"), salt))
-      .join(broadcast(fractions), Seq("source"))
-      .filter(col("u") < col("fraction"))
+    sampleByFractions(documents, fractions, salt)
       .select(col("doc_id"), col("source"), round(col("u"), 6).as("u"))
 
   /** Target-proportion corpus mixing: given per-source target weights w_s
@@ -81,10 +91,7 @@ object Sampling {
       .crossJoin(broadcast(capacity))
       .select(col("source"),
         least(lit(1.0), col("weight") * col("t") / col("n")).as("fraction"))
-    documents
-      .withColumn("u", hashU(col("doc_id"), salt))
-      .join(broadcast(fractions), Seq("source"))
-      .filter(col("u") < col("fraction"))
+    sampleByFractions(documents, fractions, salt)
       .select(col("doc_id"), col("source"),
         round(col("fraction"), 6).as("fraction"))
   }
@@ -267,18 +274,86 @@ object Sampling {
     * split -> target-proportion mix of the train split -> budget-512
     * sequence packing of the mixed train set. Composes after
     * [[TextDedup.ctes]] + [[TextAnalysis.ctes]] + [[Curation.ctes]] +
-    * [[ctes]] + [[splitCtes]] (keep_set, leakage_split, doc_u, mix_weights,
-    * token_counts all come from those). Null pack coordinates are
+    * [[ctes]] + [[splitCtes]] (doc_u, mix_weights, token_counts, exact_dups,
+    * lang_id etc. all come from those). Null pack coordinates are
     * coalesced to -1 on BOTH engines (the Spark query wrapper does the
     * same) so the driver's value hash never compares engine null
     * encodings. Window sums are ::BIGINT-cast — DuckDB's sum() OVER on
-    * BIGINT returns HUGEINT and would hash-mismatch identical values. */
+    * BIGINT returns HUGEINT and would hash-mismatch identical values.
+    *
+    * The preset runs the CAPPED dedup chain (Presets.maxLshBucket = 1000),
+    * so the oracle must model the cap too: asm_* CTEs are HAVING-capped
+    * twins of the lsh_pairs -> neardup_clusters -> keep_set -> split chain
+    * (the same mirroring as the ANN ctes' lsh_sigs_capped). The uncapped
+    * keep_set / leakage_split CTEs stay what the exact-semantics queries
+    * (q_keep_set, q_leakage_split) check; without the twins, oracle
+    * equality here would silently depend on no band bucket exceeding the
+    * cap — true at test sf by luck, not by construction. */
   val assembleCtes: String =
-    """assemble_split AS (
+    """asm_buckets AS (
+      |  SELECT b.* FROM lsh_buckets b
+      |  JOIN (SELECT band, bucket_key FROM lsh_buckets
+      |        GROUP BY band, bucket_key HAVING count(*) <= 1000) c
+      |  USING (band, bucket_key)
+      |),
+      |asm_pairs AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM asm_buckets x JOIN asm_buckets y USING (band, bucket_key)
+      |  WHERE x.doc_id < y.doc_id
+      |),
+      |asm_nd_sym AS (
+      |  SELECT a AS src, b AS dst FROM asm_pairs
+      |  UNION SELECT b, a FROM asm_pairs
+      |),
+      |asm_nd_reach AS (
+      |  WITH RECURSIVE r(x, y) AS (
+      |    SELECT src, dst FROM asm_nd_sym
+      |    UNION
+      |    SELECT r.x, e.dst FROM r JOIN asm_nd_sym e ON r.y = e.src
+      |  ) SELECT * FROM r
+      |),
+      |asm_nd_labels AS (
+      |  SELECT x AS doc_id, least(x, min(y)) AS cluster_id FROM asm_nd_reach GROUP BY x
+      |),
+      |asm_clusters AS (
+      |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+      |         d.doc_id <> coalesce(l.cluster_id, d.doc_id) AS is_dup
+      |  FROM documents d LEFT JOIN asm_nd_labels l USING (doc_id)
+      |),
+      |asm_keep_set AS (
+      |  SELECT d.doc_id,
+      |         CASE WHEN coalesce(e.is_dup, false) THEN 'exact_dup'
+      |              WHEN coalesce(n.is_dup, false) THEN 'near_dup'
+      |              WHEN coalesce(l.lang_pred, 'und') <> 'en' THEN 'lang'
+      |              WHEN coalesce(q.quality, 0.0) < 0.5 THEN 'quality'
+      |              WHEN coalesce(r.top_word_ratio, 1.0) > 0.2
+      |                   OR coalesce(r.dup_3gram_ratio, 1.0) > 0.2
+      |                   THEN 'repetition'
+      |              WHEN coalesce(c.is_contaminated, false) THEN 'contaminated'
+      |              ELSE 'kept' END AS reason
+      |  FROM documents d
+      |  LEFT JOIN exact_dups e USING (doc_id)
+      |  LEFT JOIN asm_clusters n USING (doc_id)
+      |  LEFT JOIN lang_id l USING (doc_id)
+      |  LEFT JOIN quality q USING (doc_id)
+      |  LEFT JOIN repetition r USING (doc_id)
+      |  LEFT JOIN decontam c USING (doc_id)
+      |),
+      |asm_split AS (
+      |  SELECT doc_id,
+      |         CASE WHEN u < 0.9::DOUBLE THEN 'train'
+      |              WHEN u < 0.9::DOUBLE + 0.05::DOUBLE THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |               ('0x' || substr(md5(cluster_id::VARCHAR || ':graft-split'), 1, 8))::BIGINT
+      |                 / 4294967296.0::DOUBLE AS u
+      |        FROM asm_clusters)
+      |),
+      |assemble_split AS (
       |  SELECT k.doc_id, d.source, s.split
-      |  FROM keep_set k
+      |  FROM asm_keep_set k
       |  JOIN documents d USING (doc_id)
-      |  JOIN leakage_split s USING (doc_id)
+      |  JOIN asm_split s USING (doc_id)
       |  WHERE k.reason = 'kept'
       |),
       |assemble_train AS (

@@ -306,6 +306,13 @@ object Similarity {
     val nl = resolveNlist(embeddings, nlist)
     val np = if (nprobe > 0) nprobe else autoNprobe(nl)
     val cents = embeddings.select(col("vec_id"), col("embedding"))
+      // corrupt rows (NULL id, NULL embedding, a NULL element) must not
+      // become centroids: orderBy sorts NULL ids FIRST, so one such row
+      // would otherwise always land in the centroid window and NPE the
+      // driver-side fetch — the same degrade-don't-crash contract as the
+      // probe scan itself (ivfProbesBroadcast drops these rows)
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+        !exists(col("embedding"), _.isNull))
       .orderBy(col("vec_id")).limit(nl).collect()
       // boxed java.lang.Float OR java.lang.Double elements — the probe
       // path accepts array<double> corpora (quantize roundtrips), so the

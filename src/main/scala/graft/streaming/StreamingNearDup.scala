@@ -41,6 +41,29 @@ object StreamingNearDup {
   private[streaming] def h32sql(e: String) =
     s"cast(conv(substring(md5($e), 1, 8), 16, 10) as bigint)"
 
+  /** Corrupt-row guard for DOCUMENT streams: a NULL doc_id would throw in
+    * the bucket-row encoder's non-nullable Long field and a NULL ts would
+    * NPE the founder fold's event-time ordering — either one poison-pills
+    * the whole long-lived query on a single bad producer row. Dropped
+    * instead (NULL text already degrades to no buckets in each path). */
+  private def cleanDocRows(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id").isNotNull && col("ts").isNotNull)
+
+  /** Corrupt-row guard for EMBEDDING streams: NULL vec_id/ts poison-pill
+    * like the document case; a NULL embedding or wrong width would get a
+    * partial-prefix signature (a WRONG bucket, silently missed dups); a
+    * NULL ELEMENT passes the width check and graft_lsh_sigs tolerates it,
+    * but the verified path then deserializes the vector into a
+    * non-nullable Array[Float] and dies — the exact rows
+    * [[graft.ops.Similarity.ivfProbesBroadcast]] drops, for the same
+    * reason. The batch index fails fast on ragged corpora; a stream
+    * excludes the rows instead (mirrors GraftFunctions.dotF's
+    * corrupt-row-degrades philosophy). */
+  private def cleanEmbRows(embs: DataFrame, dims: Int): DataFrame =
+    embs.where(col("vec_id").isNotNull && col("ts").isNotNull &&
+      !exists(col("embedding"), _.isNull) &&
+      size(col("embedding")) === dims)
+
   /** Full-precision event-time ordering key: TimestampType is microsecond,
     * but Timestamp.getTime truncates to milliseconds — ordering by getTime
     * alone would tie sub-millisecond arrivals and break on doc_id where
@@ -141,7 +164,7 @@ object StreamingNearDup {
   def bandBuckets(docs: DataFrame, nHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val sigs = minhashSigCols(nHashes)
     val bands = bandStructCols(nHashes, rowsPerBand)
-    docs
+    cleanDocRows(docs)
       .withColumn("w", split(col("text"), " "))
       .withColumn("sh", expr(
         """array_distinct(CASE WHEN size(w) >= 3
@@ -187,7 +210,7 @@ object StreamingNearDup {
     * the batch wide-agg: integer bit-sums are order-independent). Docs
     * with no words produce no buckets, as in batch. */
   def simhashBuckets(docs: DataFrame): DataFrame =
-    docs
+    cleanDocRows(docs)
       .filter(size(filter(split(col("text"), " "), w => w =!= "")) > 0)
       .select(col("doc_id"), col("ts"),
         graft.ops.TextDedup.simhashColumn("text").as("simhash"))
@@ -223,7 +246,7 @@ object StreamingNearDup {
     * input to the VERIFIED near-dup stage, where the founder's fingerprint
     * rides the bucket state. */
   def simhashBucketsFp(docs: DataFrame): DataFrame =
-    docs
+    cleanDocRows(docs)
       .filter(size(filter(split(col("text"), " "), w => w =!= "")) > 0)
       .select(col("doc_id"), col("ts"),
         graft.ops.TextDedup.simhashColumn("text").as("simhash"))
@@ -282,12 +305,7 @@ object StreamingNearDup {
   def embBuckets(embs: DataFrame, tables: Int, planes: Int, dims: Int): DataFrame = {
     // sigsColumn resolves graft_lsh_sigs at analysis time
     graft.functions.GraftFunctions.register(embs.sparkSession)
-    // a wrong-width streamed vector would get a partial-prefix signature —
-    // a WRONG bucket, silently missed dups. The batch path fails fast on
-    // ragged corpora; a long-lived stream can't die on one bad producer
-    // row, so corrupt rows are excluded instead (mirrors the dot kernels'
-    // corrupt-row-degrades philosophy, GraftFunctions.dotF)
-    embs.where(size(col("embedding")) === dims)
+    cleanEmbRows(embs, dims)
       .select(col("vec_id"), col("ts"),
         posexplode(graft.ops.Similarity.sigsColumn(tables, planes, dims))
           .as(Seq("t", "sig")))
@@ -362,7 +380,7 @@ object StreamingNearDup {
     // stream would be a stream-stream join; this stays a stateless
     // per-row projection like embBuckets, same corrupt-row filter)
     graft.functions.GraftFunctions.register(spark)
-    embs.where(size(col("embedding")) === dims)
+    cleanEmbRows(embs, dims)
       .select(col("vec_id"), col("embedding"), col("ts"),
         posexplode(graft.ops.Similarity.sigsColumn(tables, planes, dims))
           .as(Seq("t", "sig")))

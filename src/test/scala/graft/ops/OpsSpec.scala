@@ -259,6 +259,26 @@ class OpsSpec extends SparkSpec {
     assert(bcastZC === bcast && bcastZC.nonEmpty)
   }
 
+  test("ivfProbes centroid fetch degrades corrupt rows instead of crashing") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val clean = Similarity.ivfProbes(emb, nlist = 4, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    // corrupt rows that sort FIRST in the centroid window (NULL vec_id
+    // orders before everything; negative ids before the corpus) — exactly
+    // where they would have NPE'd the driver-side fetch without the
+    // filter; the probe scan itself already drops them (parity test above)
+    val corrupt = spark.sql(
+      """SELECT cast(null as bigint) AS vec_id,
+        |       transform(sequence(0, 63), i -> cast(i as float)) AS embedding
+        |UNION ALL SELECT -1L, cast(null as array<float>)
+        |UNION ALL SELECT -2L, transform(sequence(0, 63),
+        |  i -> IF(i = 3, cast(null as float), cast(i as float)))""".stripMargin)
+    val probes = Similarity.ivfProbes(emb.unionByName(corrupt), nlist = 4, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(probes === clean && probes.nonEmpty)
+  }
+
   test("autoNprobe holds the probed fraction as nlist grows, capped at 128") {
     import graft.ops.Similarity.{autoNprobe, autoNlist}
     assert(autoNprobe(16) === 8)     // the calibrated operating point

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{array_join, expr, length, lit}
+import org.apache.spark.sql.functions.{array_join, expr, length, lit, when}
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
@@ -405,6 +405,50 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch, s"streamed $streamed != batch $batch")
       assert(streamed.map(p => (p._1, p._2)) === Set((1L, 2L), (3L, 4L)))
       assert(streamed.forall(_._3 >= minCos))
+    } finally q.stop()
+  }
+
+  test("verified embedding stream degrades corrupt rows instead of dying") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1735689600000L
+    def ts(min: Int) = new Timestamp(t0 + min * 60000L)
+    val (tables, planes, dims) = (4, 5, 64)
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .orderBy($"vec_id").limit(2).select($"embedding").as[Seq[Float]].collect()
+    val in = MemoryStream[(Long, Seq[Float], Timestamp)]
+    // corrupt shapes arrive via marker ids and are corrupted in the plan —
+    // a MemoryStream tuple cannot carry null primitives directly. 9001 =
+    // NULL vec_id, 9002 = ragged width, 9003 = NULL element at full width
+    // (the shape that passes the width check but would kill the
+    // non-nullable Array[Float] state encoder), 9004 = NULL event time.
+    val raw = in.toDF().toDF("vec_id", "embedding", "ts")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+      .withColumn("embedding",
+        when($"vec_id" === 9002L, expr("slice(embedding, 1, 2)"))
+          .when($"vec_id" === 9003L, expr(
+            "transform(embedding, (x, i) -> IF(i = 3, cast(null as float), x))"))
+          .otherwise($"embedding"))
+      .withColumn("ts",
+        when($"vec_id" === 9004L, lit(null).cast("timestamp")).otherwise($"ts"))
+      .withColumn("vec_id",
+        when($"vec_id" === 9001L, lit(null).cast("bigint")).otherwise($"vec_id"))
+    val q = StreamingNearDup.embNearDupsVerified(raw, tables, planes, dims,
+      minCosine = 0.9)
+      .writeStream.format("memory").queryName("embv_corrupt_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, base(0), ts(0)), (3L, base(1), ts(0)))
+      q.processAllAvailable()
+      in.addData((2L, base(0), ts(1)), (4L, base(1), ts(1)),
+        (9001L, base(0), ts(1)), (9002L, base(0), ts(1)),
+        (9003L, base(0), ts(1)), (9004L, base(0), ts(1)))
+      q.processAllAvailable() // would throw the poison pill without the guard
+      assert(q.isActive)
+      val streamed = spark.table("embv_corrupt_out").distinct()
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed.map(p => (p._1, p._2)) === Set((1L, 2L), (3L, 4L)))
     } finally q.stop()
   }
 
