@@ -380,6 +380,20 @@ object Bench {
       }
       (sec, recallOf(df))
     }
+    // the SAME forced nlist under the recall-holding rule (autoNprobe(300)
+    // = 128, probed fraction 0.43): separates the path from the knob — the
+    // fixed-nprobe row above shows what under-probing 300 cells costs;
+    // this one shows the production rule holds recall at a nlist no real
+    // corpus-sized auto config reaches through the same broadcast code
+    val ivfBcastAutoNprobe = ops.Similarity.autoNprobe(ivfBcastNlist)
+    val ivfBcastAuto = {
+      var df: DataFrame = null
+      val sec = time {
+        df = ops.Similarity.ivfTopK(emb, nlist = ivfBcastNlist)
+          .localCheckpoint()
+      }
+      (sec, recallOf(df))
+    }
     val ivfTrainedNprobe =
       ops.Similarity.autoNprobe(ops.Similarity.autoNlist(emb.count()))
     // int8 scalar quantization: what 4x-smaller storage costs in retrieval
@@ -727,6 +741,9 @@ object Bench {
           .mkString("[", ",", "]")},""" +
         s""""ivf_bcast_nlist":$ivfBcastNlist,"ivf_bcast_sec":${f"${ivfBcast._1}%.3f"},""" +
         s""""ivf_bcast_recall":${f"${ivfBcast._2}%.4f"},""" +
+        s""""ivf_bcast_auto_nprobe":$ivfBcastAutoNprobe,""" +
+        s""""ivf_bcast_auto_sec":${f"${ivfBcastAuto._1}%.3f"},""" +
+        s""""ivf_bcast_auto_recall":${f"${ivfBcastAuto._2}%.4f"},""" +
         s""""ivf_trained_nprobe":$ivfTrainedNprobe,""" +
         s""""quant_int8_sec":${f"${quantInt8._1}%.3f"},""" +
         s""""quant_int8_recall":${f"${quantInt8._2}%.4f"},""" +
@@ -947,7 +964,8 @@ object Bench {
          || IVF-flat, deterministic, nprobe 8 (knob) | ${f"${ivfKnob._2}%.4f"} | ${f"${ivfKnob._1}%.3f"} |
          || IVF-flat, KMEANS-TRAINED cells, auto nprobe $ivfTrainedNprobe (PRODUCTION DEFAULT, Presets.annTopK) | ${f"${ivfTrained._2}%.4f"} | ${f"${ivfTrained._1}%.3f"} |
          || IVF-flat, KMeans-trained, nprobe 8 (knob) | ${f"${ivfTrained8._2}%.4f"} | ${f"${ivfTrained8._1}%.3f"} |
-         || IVF-flat, forced large nlist=$ivfBcastNlist (broadcast probe path — the only probe path since r5), nprobe 8 | ${f"${ivfBcast._2}%.4f"} | ${f"${ivfBcast._1}%.3f"} |
+         || IVF-flat, forced large nlist=$ivfBcastNlist (broadcast probe path — the only probe path since r5), FIXED nprobe 8 (under-probing knob: 8/300 cells) | ${f"${ivfBcast._2}%.4f"} | ${f"${ivfBcast._1}%.3f"} |
+         || IVF-flat, forced large nlist=$ivfBcastNlist, auto nprobe $ivfBcastAutoNprobe (the recall-holding rule at a beyond-auto nlist, same broadcast path) | ${f"${ivfBcastAuto._2}%.4f"} | ${f"${ivfBcastAuto._1}%.3f"} |
          || int8 scalar-quantized store, EXACT search over reconstructions (storage knob, not an index) | ${f"${quantInt8._2}%.4f"} | ${f"${quantInt8._1}%.3f"} |
          || int8 store + trained IVF at auto params (the COMPOSED production path: quantization loss + index loss vs float brute truth) | ${f"${ivfQuant._2}%.4f"} | ${f"${ivfQuant._1}%.3f"} |
          |

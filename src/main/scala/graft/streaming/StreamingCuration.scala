@@ -108,7 +108,13 @@ object StreamingCuration {
       col("is_contaminated"))
     val signalCols = Seq(col("lang_pred"), col("quality"),
       col("top_word_ratio"), col("dup_3gram_ratio"), col("is_contaminated"))
-    withSignals(docs, benchmark, minOverlap)
+    // a NULL doc_id would throw in the BucketSig encoder's non-nullable
+    // Long field and a NULL ts would NPE the founder fold's event-time
+    // ordering — either poison-pills the long-lived query on one bad
+    // producer row (same guard as StreamingNearDup's bucket stages).
+    // Shared with keepSetBatch, so stream and batch twin stay identical.
+    val clean = docs.where(col("doc_id").isNotNull && col("ts").isNotNull)
+    withSignals(clean, benchmark, minOverlap)
       .select(Seq(col("doc_id"), col("ts"), col("text"), col("sh"))
         ++ coalesced: _*)
       .select(Seq(col("doc_id"), col("ts"), col("text"), col("sh"))

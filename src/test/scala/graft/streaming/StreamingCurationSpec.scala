@@ -124,6 +124,40 @@ class StreamingCurationSpec extends SparkSpec {
       4L -> "lang", 5L -> "quality", 6L -> "repetition", 7L -> "contaminated"))
   }
 
+  test("streaming keepSet degrades corrupt rows (NULL id / NULL ts) instead of dying") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docA = "the alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra"
+    val benchDf = Seq((100L, "zero one two")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    // marker ids become NULLs in the plan (a MemoryStream tuple cannot
+    // carry null primitives): 9001 = NULL doc_id (would throw in the
+    // BucketSig encoder), 9002 = NULL event time (would NPE founderFold)
+    import org.apache.spark.sql.functions.{when => w, lit => l}
+    val raw = in.toDF().toDF("doc_id", "text", "ts")
+      .withColumn("ts", w(col("doc_id") === 9002L, l(null).cast("timestamp"))
+        .otherwise(col("ts")))
+      .withColumn("doc_id", w(col("doc_id") === 9001L, l(null).cast("bigint"))
+        .otherwise(col("doc_id")))
+    val verdicts = StreamingCuration.keepSet(raw, benchDf)
+    val q = verdicts.writeStream.format("memory").queryName("curation_corrupt_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, docA, ts(0)), (9001L, docA, ts(0)), (9002L, docA, ts(0)))
+      q.processAllAvailable() // would throw the poison pill without the guard
+      in.addData((99L, "late watermark flush doc", ts(40)))
+      q.processAllAvailable()
+      assert(q.isActive)
+      val out = verdicts.sparkSession.table("curation_corrupt_out")
+        .select($"doc_id", $"keep", $"reason")
+        .as[(Long, Boolean, String)].collect().map(r => r._1 -> r).toMap
+      assert(out.keySet === Set(1L)) // clean doc verdicted, corrupt dropped
+      assert(out(1L) === ((1L, true, "kept")))
+    } finally q.stop()
+  }
+
   test("keepSetBatch (the oracle twin) reproduces the streaming founder verdicts") {
     val spark2 = spark
     import spark2.implicits._
