@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, UnaryExpression, Expression, ExpectsInputTypes, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -182,6 +183,148 @@ object GraftFunctions {
     math.sqrt(acc)
   }
 
+  // ---- blocking kernels (round 6): the per-row array work of the
+  // prefix-filtered blocking join, as codegen'd tight loops. The
+  // filter/aggregate/transform/array_sort higher-order functions they
+  // replace are CodegenFallback expressions whose lambdas run interpreted
+  // per ELEMENT — measured as the dominant per-row cost of the blocking
+  // stage once the plan itself was deduplicated (guide §1.2 step 2:
+  // per-task work, after the distributed shape is right).
+
+  /** Sort array<struct<df:long, token:string>> by (df asc, token asc) and
+    * drop exact duplicates — the codegen'd equivalent of
+    * array_distinct(array_sort(...)): same binary UTF8String ordering as
+    * Spark's default struct comparator, duplicates (equal df AND token)
+    * collapse to one entry. (df asc) is exactly the blocking window order
+    * (sim desc): sim = 1/df. */
+  def blockSort(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val dfs = new Array[Long](n)
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val r = a.getStruct(i, 2)
+      dfs(i) = r.getLong(0); toks(i) = r.getUTF8String(1); i += 1
+    }
+    // insertion sort: names have 1-6 tokens
+    i = 1
+    while (i < n) {
+      val d = dfs(i); val t = toks(i)
+      var j = i - 1
+      while (j >= 0 && (dfs(j) > d || (dfs(j) == d && toks(j).compareTo(t) > 0))) {
+        dfs(j + 1) = dfs(j); toks(j + 1) = toks(j); j -= 1
+      }
+      dfs(j + 1) = d; toks(j + 1) = t
+      i += 1
+    }
+    val out = new Array[Any](n)
+    var m = 0
+    i = 0
+    while (i < n) {
+      if (i == 0 || dfs(i) != dfs(i - 1) || !toks(i).equals(toks(i - 1))) {
+        out(m) = org.apache.spark.sql.catalyst.InternalRow(dfs(i), toks(i))
+        m += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (m == n) out else out.take(m))
+  }
+
+  /** Token array of the cap-surviving entries of a sorted (df, token)
+    * array: maxDf < 0 = no cap. Codegen'd twin of
+    * `transform(filter(ts, x -> x.df <= cap), x -> x.token)`. */
+  def blockToks(a: ArrayData, maxDf: Long): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val r = a.getStruct(i, 2)
+      if (maxDf < 0 || r.getLong(0) <= maxDf) { out(m) = r.getUTF8String(1); m += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (m == n) out else out.take(m))
+  }
+
+  /** Destination-side derivations of the blocking join from the sorted
+    * (df, token) array, in ONE pass: (tsc = cap-surviving entries,
+    * self_sim = sum of 1/df over ALL entries in array order, plen = count
+    * of tsc positions whose suffix mass >= relSimTh * self_sim - eps).
+    * Each suffix mass is folded from 0.0 in array order — bit-identical to
+    * both the HOF spelling (aggregate(slice(...), 0D, ...)) and the
+    * round-5 UnboundedFollowing window frame, which recomputed the sum per
+    * row from the current row to the partition end. */
+  def blockDst(a: ArrayData, maxDf: Long, relSimTh: Double): InternalRow = {
+    val n = a.numElements()
+    var selfSim = 0.0
+    val cdfs = new Array[Long](n)
+    val ctoks = new Array[Any](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val r = a.getStruct(i, 2)
+      val df = r.getLong(0)
+      selfSim += 1.0 / df
+      if (maxDf < 0 || df <= maxDf) { cdfs(m) = df; ctoks(m) = r.getUTF8String(1); m += 1 }
+      i += 1
+    }
+    val th = relSimTh * selfSim - graft.pipeline.Blocking.eps
+    // suffix mass strictly decreases (1/df > 0), so the passing positions
+    // form a prefix: counting until the first miss equals the HOF filter's
+    // count over all positions
+    var plen = 0
+    var miss = false
+    i = 0
+    while (i < m && !miss) {
+      var acc = 0.0
+      var j = i
+      while (j < m) { acc += 1.0 / cdfs(j); j += 1 }
+      if (acc >= th) plen += 1 else miss = true
+      i += 1
+    }
+    val tsc = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      tsc(i) = org.apache.spark.sql.catalyst.InternalRow(cdfs(i), ctoks(i)); i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(tsc), selfSim, plen)
+  }
+
+  /** Pair-granularity dedup + verification of the blocking join in one
+    * pass over the carried arrays: returns NULL unless `token` is the
+    * dst's FIRST prefix token (position < plen in the sorted capped array)
+    * shared with the org — so each surviving (dst, org) pair is emitted
+    * exactly once — and otherwise (common_cnt, sum_sim) over ALL shared
+    * capped entries, 1/df summed in array order (the same fold as the HOF
+    * spelling it replaces). */
+  def blockPair(tsc: ArrayData, plen: Int, otoks: ArrayData,
+      token: UTF8String): InternalRow = {
+    val n = tsc.numElements()
+    val m = otoks.numElements()
+    var first: UTF8String = null
+    var cnt = 0
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val r = tsc.getStruct(i, 2)
+      val t = r.getUTF8String(1)
+      var inO = false
+      var j = 0
+      while (j < m && !inO) { if (otoks.getUTF8String(j).equals(t)) inO = true; j += 1 }
+      if (inO) {
+        if (first == null && i < plen) first = t
+        cnt += 1
+        sum += 1.0 / r.getLong(0)
+      }
+      i += 1
+    }
+    if (first == null || !first.equals(token)) null
+    else org.apache.spark.sql.catalyst.InternalRow(cnt, sum)
+  }
+
   private val O = "graft.functions.GraftFunctions"
 
   /** Register all graft expressions as session temp functions, usable from
@@ -209,6 +352,19 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_lsh_sigs",
       (es: Seq[Expression]) => LshSigsExpr(es(0), LshSigsExpr.litInt(es(1)),
         LshSigsExpr.litInt(es(2)), LshSigsExpr.litInt(es(3))), "scala_udf")
+    // blocking kernels: scalar params must fold to literals (plan-time
+    // shape, like graft_lsh_sigs)
+    reg.createOrReplaceTempFunction("graft_block_sort",
+      (es: Seq[Expression]) => BlockSortExpr(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_block_toks",
+      (es: Seq[Expression]) => BlockToksExpr(es(0), LshSigsExpr.litLong(es(1))),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_block_dst",
+      (es: Seq[Expression]) => BlockDstExpr(es(0), LshSigsExpr.litLong(es(1)),
+        LshSigsExpr.litDouble(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_block_pair",
+      (es: Seq[Expression]) => BlockPairExpr(es(0), es(1), es(2), es(3)),
+      "scala_udf")
   }
 }
 
@@ -375,6 +531,113 @@ object LshSigsExpr {
     case other => throw new IllegalArgumentException(
       s"graft_lsh_sigs shape parameters must be integer literals, got $other")
   }
+
+  def litLong(e: Expression): Long = e.eval(null) match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case s: Short => s.toLong
+    case other => throw new IllegalArgumentException(
+      s"shape parameters must be integer literals, got $other")
+  }
+
+  def litDouble(e: Expression): Double = e.eval(null) match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case other => throw new IllegalArgumentException(
+      s"shape parameters must be numeric literals, got $other")
+  }
+}
+
+/** Shared row/array types of the blocking kernels. */
+private[functions] object BlockTypes {
+  import org.apache.spark.sql.types._
+  val entry: StructType = StructType(Seq(
+    StructField("df", LongType, nullable = false),
+    StructField("token", StringType, nullable = true)))
+  val entries: ArrayType = ArrayType(entry, containsNull = false)
+  val dstOut: StructType = StructType(Seq(
+    StructField("tsc", entries, nullable = false),
+    StructField("self_sim", DoubleType, nullable = false),
+    StructField("plen", IntegerType, nullable = false)))
+  val pairOut: StructType = StructType(Seq(
+    StructField("common_cnt", IntegerType, nullable = false),
+    StructField("sum_sim", DoubleType, nullable = false)))
+}
+
+/** graft_block_sort: sort + dedup of the collected (df, token) entries —
+  * see [[GraftFunctions.blockSort]]. */
+case class BlockSortExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BlockTypes.entries)
+  override def dataType: DataType = BlockTypes.entries
+  override def nullSafeEval(a: Any): Any =
+    GraftFunctions.blockSort(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GraftFunctions.blockSort($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** graft_block_toks(ts, maxDf): token array of cap-surviving entries —
+  * see [[GraftFunctions.blockToks]]. maxDf must be an integer literal. */
+case class BlockToksExpr(child: Expression, maxDf: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BlockTypes.entries)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    GraftFunctions.blockToks(a.asInstanceOf[ArrayData], maxDf)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.GraftFunctions.blockToks($a, ${maxDf}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** graft_block_dst(ts, maxDf, relSimTh): (tsc, self_sim, plen) in one pass
+  * — see [[GraftFunctions.blockDst]]. Scalar params must be literals. */
+case class BlockDstExpr(child: Expression, maxDf: Long, relSimTh: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BlockTypes.entries)
+  override def dataType: DataType = BlockTypes.dstOut
+  override def nullSafeEval(a: Any): Any =
+    GraftFunctions.blockDst(a.asInstanceOf[ArrayData], maxDf, relSimTh)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.GraftFunctions.blockDst($a, ${maxDf}L, ${relSimTh}D)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** graft_block_pair(tsc, plen, otoks, token): in-row pair dedup +
+  * verification — NULL unless `token` is the dst's first org-shared prefix
+  * token, else (common_cnt, sum_sim). See [[GraftFunctions.blockPair]]. */
+case class BlockPairExpr(tsc: Expression, plen: Expression, otoks: Expression,
+    token: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(BlockTypes.entries,
+    org.apache.spark.sql.types.IntegerType,
+    ArrayType(StringType), StringType)
+  override def first: Expression = tsc
+  override def second: Expression = plen
+  override def third: Expression = otoks
+  override def fourth: Expression = token
+  override def dataType: DataType = BlockTypes.pairOut
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GraftFunctions.blockPair(a.asInstanceOf[ArrayData], b.asInstanceOf[Int],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) => {
+      val r = ctx.freshName("pairRes")
+      s"""org.apache.spark.sql.catalyst.InternalRow $r =
+         |  graft.functions.GraftFunctions.blockPair($a, $b, $c, $d);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression =
+    copy(tsc = f, plen = s, otoks = t, token = q)
 }
 
 case class JaroWinklerExpr(left: Expression, right: Expression)
