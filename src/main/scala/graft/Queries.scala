@@ -45,7 +45,8 @@ object Queries {
       ConnectedComponents.assignments(mentions(s, dir), candidates(s, dir)))
   private def greedyAssignments(s: SparkSession, dir: String) =
     cachedStage(s, dir, "greedy")(
-      GreedyClustering.assignments(mentions(s, dir), tokens(s, dir), candidates(s, dir)))
+      GreedyClustering.assignments(mentions(s, dir), tokens(s, dir),
+        candidates(s, dir), ccDf = Some(ccAssignments(s, dir))))
   private def tokenDf(s: SparkSession, dir: String) =
     cachedStage(s, dir, "tokenDf")(Blocking.tokenDf(tokens(s, dir)))
   private def elementStats(s: SparkSession, dir: String) =
@@ -62,6 +63,14 @@ object Queries {
     pipelineCtes :+ ConnectedComponents.ctes
   private val evalCtes: Seq[String] =
     ccCtes ++ Seq(Synth.goldMentionsCte, Evaluation.ctes)
+
+  // Gold labels are a shared evaluation input (E-1/E-2 and the sinks read
+  // them); memoized like any other stage so the regex+aggregate over the
+  // transcripts runs once per process instead of once per eval query.
+  private def goldMentions(ss: SparkSession, d: String) =
+    cachedStage(ss, d, "gold")(Synth.goldMentions(ss, d))
+  private def goldPairs(ss: SparkSession, d: String) =
+    cachedStage(ss, d, "goldPairs")(Synth.goldPairs(ss, d))
 
   private def documents(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/documents.parquet")
@@ -88,6 +97,13 @@ object Queries {
   private def sigIndexStage(s: SparkSession, dir: String) =
     cachedStage(s, dir, "sigIndex")(TextDedup.signatureIndex(
       documents(s, dir), sigsDf = Some(minhashSigs(s, dir))))
+  // the iterative near-dup CC stage is memoized so its consumers
+  // (q_neardup_clusters, the keep-set verdict, the leakage-safe split)
+  // run the pointer-jump loop once per process — the same stage sharing
+  // Presets.assembleDataset already does internally (guide §2.4)
+  private def nearDupClustersStage(s: SparkSession, dir: String) =
+    cachedStage(s, dir, "neardupClusters")(TextDedup.nearDupClusters(
+      documents(s, dir), pairsDf = Some(lshPairsStage(s, dir))))
 
   // ANN results are memoized so Bench can derive recall@k vs the brute
   // baseline from the same computation it times (no second brute pass).
@@ -164,8 +180,7 @@ object Queries {
     // the "keep one per near-dup cluster" reduction; oracle via the same
     // recursive-CTE transitive closure as the ER components.
     "q_neardup_clusters" -> (
-      ((s: SparkSession, dir: String) => TextDedup.nearDupClusters(
-        documents(s, dir), pairsDf = Some(lshPairsStage(s, dir)))),
+      ((s: SparkSession, dir: String) => nearDupClustersStage(s, dir)),
       Some(rawCtes("SELECT doc_id, cluster_id, is_dup FROM neardup_clusters",
         TextDedup.ctes))
     ),
@@ -196,7 +211,8 @@ object Queries {
         documents(s, dir),
         documents(s, dir).filter(col("doc_id") % 97 === 0),
         pairsDf = Some(lshPairsStage(s, dir)),
-        shinglesDf = Some(docShingles(s, dir)))),
+        shinglesDf = Some(docShingles(s, dir)),
+        clustersDf = Some(nearDupClustersStage(s, dir)))),
       Some(rawCtes(
         "SELECT doc_id, reason = 'kept' AS keep, reason FROM keep_set",
         TextDedup.ctes, TextAnalysis.ctes, graft.ops.Curation.ctes))
@@ -359,8 +375,7 @@ object Queries {
       ((s: SparkSession, dir: String) => {
         val docs = documents(s, dir)
         graft.ops.Sampling.leakageSafeSplit(docs, clustersDf =
-          Some(TextDedup.nearDupClusters(docs,
-            pairsDf = Some(lshPairsStage(s, dir)))))
+          Some(nearDupClustersStage(s, dir)))
       }),
       Some(rawCtes("SELECT doc_id, cluster_id, split FROM leakage_split",
         TextDedup.ctes, graft.ops.Sampling.splitCtes))
@@ -448,7 +463,7 @@ object Queries {
 
     // Gold labels (RID_REF analogue) — evaluation input.
     "q_gold_mentions" -> (
-      ((s: SparkSession, dir: String) => Synth.goldMentions(s, dir)),
+      ((s: SparkSession, dir: String) => goldMentions(s, dir)),
       Some(withCtes(
         "SELECT name, entity_id, cnt FROM gold_mentions",
         Synth.goldMentionsCte))
@@ -552,13 +567,13 @@ object Queries {
     // Stage 6 on greedy clusters: the headline quality metric (E-1).
     "q_eval_greedy" -> (
       ((s: SparkSession, dir: String) =>
-        Evaluation.pairwiseF1(greedyAssignments(s, dir), Synth.goldMentions(s, dir))),
+        Evaluation.pairwiseF1(greedyAssignments(s, dir), goldMentions(s, dir))),
       None
     ),
 
     // Labeled pairs for paired evaluation (E-2 input; S-4 analogue).
     "q_gold_pairs" -> (
-      ((s: SparkSession, dir: String) => Synth.goldPairs(s, dir)),
+      ((s: SparkSession, dir: String) => goldPairs(s, dir)),
       Some(withCtes(
         "SELECT id1, id2, label FROM gold_pairs",
         Canonicalize.ctes, Synth.goldMentionsCte, Synth.goldPairsCte))
@@ -567,7 +582,7 @@ object Queries {
     // E-2 paired F-measure over CC clusters (full SQL oracle).
     "q_eval_paired_cc" -> (
       ((s: SparkSession, dir: String) =>
-        PairedEval.pairedF1(ccAssignments(s, dir), Synth.goldPairs(s, dir))),
+        PairedEval.pairedF1(ccAssignments(s, dir), goldPairs(s, dir))),
       Some(withCtes(
         "SELECT tp, fp, fn, precision, recall, f1 FROM paired_eval",
         (ccCtes ++ Seq(Synth.goldMentionsCte, Synth.goldPairsCte, PairedEval.ctes)): _*))
@@ -576,7 +591,7 @@ object Queries {
     // E-2 paired F-measure over greedy consistency clusters.
     "q_eval_paired_greedy" -> (
       ((s: SparkSession, dir: String) =>
-        PairedEval.pairedF1(greedyAssignments(s, dir), Synth.goldPairs(s, dir))),
+        PairedEval.pairedF1(greedyAssignments(s, dir), goldPairs(s, dir))),
       None
     ),
 
@@ -598,7 +613,8 @@ object Queries {
         val prod = norm(greedyAssignments(s, dir), "prod_label")
         val exact = norm(cachedStage(s, dir, "greedyExact")(
           GreedyClustering.assignments(mentions(s, dir), tokens(s, dir),
-            candidates(s, dir), maxComponentSize = Int.MaxValue)), "exact_label")
+            candidates(s, dir), maxComponentSize = Int.MaxValue,
+            ccDf = Some(ccAssignments(s, dir)))), "exact_label")
         prod.join(exact, "mention_id")
           .filter($"prod_label" =!= $"exact_label")
           .agg(count(lit(1)).as("diff_cnt"))
@@ -628,7 +644,7 @@ object Queries {
     ),
     "q_sim_graph_vertices" -> (
       ((s: SparkSession, dir: String) =>
-        SimGraph.simGraphVertices(mentions(s, dir), Synth.goldMentions(s, dir))),
+        SimGraph.simGraphVertices(mentions(s, dir), goldMentions(s, dir))),
       Some(withCtes(
         """SELECT m.mention_id AS id, m.name AS label, m.weight,
           |       min(g.entity_id) AS res_id
@@ -665,7 +681,7 @@ object Queries {
       ((s: SparkSession, dir: String) =>
         Evaluation.pairwiseF1(
           SparkEntry.queries("q_phonetic_baseline")(s, dir),
-          Synth.goldMentions(s, dir))),
+          goldMentions(s, dir))),
       Some(withCtes(
         "SELECT tp, fp, fn, precision, recall, f1 FROM pairwise_eval",
         Canonicalize.ctes, Synth.goldMentionsCte, phoneticBaselineCte,
@@ -680,7 +696,7 @@ object Queries {
     "q_eval_upper_bound" -> (
       ((s: SparkSession, dir: String) => {
         import s.implicits._
-        val gold = Synth.goldMentions(s, dir)
+        val gold = goldMentions(s, dir)
         val m = mentions(s, dir)
         val nameEnt = gold.select($"name", $"entity_id")
           .join(m.select($"name", $"mention_id"), "name")
@@ -715,7 +731,7 @@ object Queries {
     // for determinism) — the name-granularity ceiling of any clusterer.
     "q_gold_clusters" -> (
       ((s: SparkSession, dir: String) =>
-        mentions(s, dir).join(Synth.goldMentions(s, dir), "name")
+        mentions(s, dir).join(goldMentions(s, dir), "name")
           .groupBy(col("mention_id"), col("name"), col("weight"))
           .agg(min(col("entity_id")).as("cluster_id"))),
       Some(withCtes(
@@ -728,7 +744,7 @@ object Queries {
       ((s: SparkSession, dir: String) =>
         Evaluation.pairwiseF1(
           SparkEntry.queries("q_gold_clusters")(s, dir),
-          Synth.goldMentions(s, dir))),
+          goldMentions(s, dir))),
       Some(withCtes(
         "SELECT tp, fp, fn, precision, recall, f1 FROM pairwise_eval",
         Canonicalize.ctes, Synth.goldMentionsCte,
@@ -746,7 +762,7 @@ object Queries {
     "q_recall_ceiling_paired" -> (
       ((s: SparkSession, dir: String) => {
         val cc = ccAssignments(s, dir)
-        Synth.goldPairs(s, dir).filter(col("label") === 1)
+        goldPairs(s, dir).filter(col("label") === 1)
           .join(cc.select(col("mention_id").as("id1"), col("component_id").as("comp1")), "id1")
           .join(cc.select(col("mention_id").as("id2"), col("component_id").as("comp2")), "id2")
           .agg(
@@ -773,7 +789,7 @@ object Queries {
         val a = mentions(s, dir).agg(
           sum(col("weight")).cast("long").as("n_mention_occurrences"),
           count(lit(1)).as("n_distinct_names"))
-        val b = Synth.goldMentions(s, dir)
+        val b = goldMentions(s, dir)
           .groupBy(col("entity_id")).agg(count(lit(1)).as("n_forms"))
           .agg(count(lit(1)).as("n_entities"),
             sum(when(col("n_forms") > 1, 1L).otherwise(0L)).as("n_entities_multi_form"))
@@ -793,12 +809,13 @@ object Queries {
     // coder. Soundex reuses the cached default clustering.
     "q_phonetic_sensitivity" -> (
       ((s: SparkSession, dir: String) => {
-        val gold = Synth.goldMentions(s, dir)
+        val gold = goldMentions(s, dir)
         Seq("soundex", "metaphone", "nysiis", "onca", "statcan").map { coder =>
           val assigns =
             if (coder == "soundex") greedyAssignments(s, dir)
             else GreedyClustering.assignments(mentions(s, dir), tokens(s, dir),
-              candidates(s, dir), hierarchy = coder)
+              candidates(s, dir), hierarchy = coder,
+              ccDf = Some(ccAssignments(s, dir)))
           Evaluation.pairwiseF1(assigns, gold).withColumn("coder", lit(coder))
         }.reduce(_ unionByName _)
           .select(col("coder"), col("precision"), col("recall"), col("f1"))
@@ -823,7 +840,7 @@ object Queries {
     // Stage 6: weighted pairwise F1 of CC clustering vs gold (E-1).
     "q_eval_cc" -> (
       ((s: SparkSession, dir: String) =>
-        Evaluation.pairwiseF1(ccAssignments(s, dir), Synth.goldMentions(s, dir))),
+        Evaluation.pairwiseF1(ccAssignments(s, dir), goldMentions(s, dir))),
       Some(withCtes(
         "SELECT tp, fp, fn, precision, recall, f1 FROM pairwise_eval",
         evalCtes: _*))

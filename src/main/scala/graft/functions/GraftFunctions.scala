@@ -325,6 +325,38 @@ object GraftFunctions {
     else org.apache.spark.sql.catalyst.InternalRow(cnt, sum)
   }
 
+  /** First index where BOTH positional arrays hold a non-null, equal
+    * entry; -1 when none — the codegen'd twin of
+    * `array_position(zip_with(a, b, (x, y) -> coalesce(x = y, false)), true) - 1`
+    * (the first-surviving-shared-bucket pair-dedup rule of
+    * Similarity.annCandidates / TextDedup.lshPairs). The HOF chain it
+    * replaces is a CodegenFallback island evaluated per ELEMENT with boxed
+    * lambdas on every joined candidate row — measured as the dominant cost
+    * of the ANN candidate stage once the join itself was cheap. Long
+    * variant (LSH signatures): */
+  def firstSharedL(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** [[firstSharedL]] for string entries (LSH band bucket keys). */
+  def firstSharedS(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) &&
+        a.getUTF8String(i).equals(b.getUTF8String(i))) return i
+      i += 1
+    }
+    -1
+  }
+
   private val O = "graft.functions.GraftFunctions"
 
   /** Register all graft expressions as session temp functions, usable from
@@ -365,6 +397,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_block_pair",
       (es: Seq[Expression]) => BlockPairExpr(es(0), es(1), es(2), es(3)),
       "scala_udf")
+    reg.createOrReplaceTempFunction("graft_first_shared",
+      (es: Seq[Expression]) => FirstSharedExpr(es(0), es(1)), "scala_udf")
   }
 }
 
@@ -638,6 +672,34 @@ case class BlockPairExpr(tsc: Expression, plen: Expression, otoks: Expression,
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression, q: Expression): Expression =
     copy(tsc = f, plen = s, otoks = t, token = q)
+}
+
+/** graft_first_shared(a, b): first index where both positional arrays hold
+  * a non-null equal entry, -1 when none — see
+  * [[GraftFunctions.firstSharedL]]. Dispatches on the element type (long
+  * signatures vs string bucket keys); any other element type is rejected
+  * at analysis. */
+case class FirstSharedExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  private lazy val elem: DataType =
+    if (!left.resolved) LongType
+    else left.dataType match {
+      case ArrayType(StringType, _) => StringType
+      case _ => LongType
+    }
+  override def inputTypes = Seq(ArrayType(elem), ArrayType(elem))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  private lazy val kernel = if (elem == StringType) "firstSharedS" else "firstSharedL"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (kernel == "firstSharedS")
+      GraftFunctions.firstSharedS(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      GraftFunctions.firstSharedL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GraftFunctions.$kernel($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 case class JaroWinklerExpr(left: Expression, right: Expression)

@@ -24,33 +24,96 @@ object Similarity {
   private def reg(df: DataFrame): Unit =
     graft.functions.GraftFunctions.register(df.sparkSession)
 
-  /** Cosine kernels assume fixed-width embeddings; a ragged corpus would
-    * get silent partial-prefix dot products (wrong neighbors), so every
-    * index entry point fails fast instead. */
-  private def assertFixedWidth(embeddings: DataFrame): Unit = {
-    val r = embeddings.agg(min(size(col("embedding"))),
-      max(size(col("embedding")))).collect()(0)
-    if (r.isNullAt(0)) return // empty corpus: downstream result is empty
-    require(r.getInt(0) == r.getInt(1),
-      s"embeddings must be fixed-width: saw sizes ${r.getInt(0)}..${r.getInt(1)}")
-  }
-
-  /** Brute-force cosine top-k: (vec_id, neighbor_id, cosine, rank). */
+  /** Brute-force cosine top-k: (vec_id, neighbor_id, cosine, rank).
+    *
+    * STILL the deliberately quadratic correctness baseline (O(n^2) dot
+    * products — NOT the scale path; [[annTopK]]/[[ivfTopKTrained]] are),
+    * but the round-6 shape removes everything except that quadratic core:
+    * the corpus rides ONE executor broadcast (the same bytes the round-5
+    * crossJoin's BroadcastNestedLoopJoin already shipped to every
+    * executor) and each row folds its top-k in a bounded insertion array
+    * inside one mapPartitions scan — no n^2-row join materialization, no
+    * window shuffle, no O(n log n) per-group sort (guide §2.4: remove
+    * shuffles outright; the window existed only to rank rows we then
+    * threw away). Arithmetic is bit-identical to the crossJoin form:
+    * elements widen to double before multiply (= graft_dot_f /
+    * graft_norm_f), cosine rounds via BigDecimal HALF_UP (= Spark
+    * round(_, 6)), ranks order by (cosine desc, neighbor_id asc).
+    * Corrupt rows (NULL id/embedding/element, zero norm) are dropped on
+    * both sides — the same degrade-don't-crash contract as
+    * [[ivfProbesBroadcast]]; a ragged corpus still fails fast. */
   def knnBrute(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    reg(embeddings)
-    assertFixedWidth(embeddings)
-    val e = embeddings.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", norm("embedding"))
-    val a = e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    a.crossJoin(b)
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(dot("ea", "eb") / (col("na") * col("nb")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val raw = embeddings.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+        !exists(col("embedding"), _.isNull))
+    // one action: fetch + width-check + norm the corpus (doubles as the
+    // fixed-width assertion the separate assertFixedWidth scan used to pay)
+    val corpus: Array[(Long, Array[Double], Double)] = raw.collect().map { r =>
+      val v = r.getSeq[Number](1).map(_.doubleValue()).toArray
+      var acc = 0d; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      (r.getLong(0), v, math.sqrt(acc))
+    }
+    if (corpus.isEmpty)
+      return embeddings.select(col("vec_id"), lit(0L).as("neighbor_id"),
+        lit(0d).as("cosine"), lit(0).as("rank")).where(lit(false))
+    val dims = corpus(0)._2.length
+    require(corpus.forall(_._2.length == dims),
+      s"embeddings must be fixed-width: saw sizes " +
+        s"${corpus.map(_._2.length).min}..${corpus.map(_._2.length).max}")
+    val cents = corpus.filter(_._3 > 0d)
+    val bc = spark.sparkContext.broadcast(cents)
+    val clean = raw.filter(size(col("embedding")) === lit(dims))
+    def scoreRows[T](ds: org.apache.spark.sql.Dataset[(Long, T)])(
+        elem: (T, Int) => Double): DataFrame =
+      ds.mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (vid, emb) =>
+          var acc = 0d; var i = 0
+          while (i < dims) { val x = elem(emb, i); acc += x * x; i += 1 }
+          val nrm = math.sqrt(acc)
+          if (nrm == 0d) Iterator.empty
+          else {
+            // bounded top-k insertion, ordered (cosine desc, neighbor asc)
+            val topCos = new Array[Double](k)
+            val topId = new Array[Long](k)
+            var m = 0
+            var c = 0
+            while (c < cs.length) {
+              val (nid, cv, cnrm) = cs(c)
+              if (nid != vid) {
+                var d = 0d; var j = 0
+                while (j < dims) { d += elem(emb, j) * cv(j); j += 1 }
+                val rawCos = d / (nrm * cnrm)
+                val cos = if (java.lang.Double.isFinite(rawCos))
+                  java.math.BigDecimal.valueOf(rawCos)
+                    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+                else rawCos
+                var p = m
+                while (p > 0 && (topCos(p - 1) < cos ||
+                    (topCos(p - 1) == cos && topId(p - 1) > nid))) p -= 1
+                if (p < k) {
+                  var q = math.min(m, k - 1)
+                  while (q > p) { topCos(q) = topCos(q - 1); topId(q) = topId(q - 1); q -= 1 }
+                  topCos(p) = cos; topId(p) = nid
+                  if (m < k) m += 1
+                }
+              }
+              c += 1
+            }
+            Iterator.tabulate(m)(r2 => (vid, topId(r2), topCos(r2), r2 + 1))
+          }
+        }
+      }.toDF("vec_id", "neighbor_id", "cosine", "rank")
+    clean.schema("embedding").dataType match {
+      case ArrayType(DoubleType, _) =>
+        scoreRows(clean.as[(Long, Array[Double])])((a, i) => a(i))
+      case _ =>
+        scoreRows(clean.as[(Long, Array[Float])])((a, i) => a(i).toDouble)
+    }
   }
 
   /** ceil(log2(n)) via leading zeros — exact at powers of two (no FP). */
@@ -176,7 +239,12 @@ object Similarity {
       maxBucket: Option[Int] = defaultMaxBucket): DataFrame = {
     reg(embeddings) // sigsColumn resolves graft_lsh_sigs at analysis time
     val (nt, np, dims) = resolveParams(embeddings, tables, planes)
-    val sigs = capBuckets(lshSignaturesResolved(embeddings, nt, np, dims), maxBucket)
+    // materialize the exploded signatures once: the hot-bucket valve
+    // (groupBy + semi-join back) scans its input TWICE, and without the
+    // checkpoint each scan re-ran the whole signing projection (round 6,
+    // guide §2.4 — n x tables skinny rows, cheap to pin)
+    val sigs0 = lshSignaturesResolved(embeddings, nt, np, dims).localCheckpoint()
+    val sigs = capBuckets(sigs0, maxBucket)
     // positional per-vec signature vector, capped-away slots nulled; eager
     // checkpoint both computes the heavy literal-weights expression once
     // and keeps it out of the self-join's two optimizer branches
@@ -191,11 +259,13 @@ object Similarity {
     exploded.as("x")
       .join(exploded.as("y"), Seq("t", "sig"))
       .filter(col("x.vec_id") < col("y.vec_id"))
-      // keep the pair only at its FIRST surviving shared table: one
-      // positional zip, O(tables) per joined row (a nested exists over
-      // (t, sig) entry lists is O(tables^2) interpreted struct compares)
-      .filter(expr(
-        "array_position(zip_with(x.sa, y.sa, (a, b) -> coalesce(a = b, false)), true) - 1 = t"))
+      // keep the pair only at its FIRST surviving shared table — the
+      // codegen'd graft_first_shared loop (round 6): the positional
+      // zip_with/array_position HOF chain it replaces is a CodegenFallback
+      // island whose lambdas run interpreted per ELEMENT on every joined
+      // row, measured as the dominant cost of this stage once the join
+      // itself was cheap (same rule, same -1/-no-match semantics)
+      .filter(expr("graft_first_shared(x.sa, y.sa) = t"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
   }
 
@@ -491,16 +561,21 @@ object Similarity {
 
   private def ivfTopKFrom(embeddings: DataFrame, probes: DataFrame, k: Int,
       queries: Option[DataFrame] = None): DataFrame = {
-    val assign = probes.filter(col("probe_rank") === 1)
+    // the probe projection feeds BOTH branches of the cell join (query
+    // probes and rank-1 assignments); materialize it once — n x nprobe
+    // skinny rows — instead of running the centroid-scoring scan twice
+    // (round 6, guide §2.4: two consumers, one computation)
+    val p = probes.localCheckpoint()
+    val assign = p.filter(col("probe_rank") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cell"))
     val e = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm("embedding"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     val querySide = queries match {
-      case Some(q) => probes.join(
+      case Some(q) => p.join(
         broadcast(q.select(col("vec_id"))), Seq("vec_id"), "left_semi")
-      case None => probes
+      case None => p
     }
     // each neighbor has exactly one assigned cell -> the join emits each
     // (vec_id, neighbor_id) at most once; no distinct needed

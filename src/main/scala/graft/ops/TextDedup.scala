@@ -80,10 +80,30 @@ object TextDedup {
                sigsDf: Option[DataFrame] = None): DataFrame = {
     val all = bandBuckets(documents, nHashes, rowsPerBand, sigsDf)
     val buckets = Valves.capGroups(all, Seq("band", "bucket_key"), maxBucket)
-    buckets.as("x").join(buckets.as("y"), Seq("band", "bucket_key"))
+    // pair dedup IN-ROW at the first surviving shared band (the same
+    // positional-zip rule as Similarity.annCandidates / the blocking
+    // kernels) instead of shuffling the emitted pair MULTISET through a
+    // distinct(): each doc carries its per-band bucket keys (capped-away
+    // slots nulled) and a pair survives only on the lowest band both
+    // sides still hold — the emitted pair SET equals the distinct()
+    // formulation's, which the DuckDB oracle still computes, so every
+    // Verify run re-proves the equivalence (round-6 change, guide §2.3:
+    // nothing downstream of the bucket join shuffles).
+    val nBands = nHashes / rowsPerBand
+    val arr = buckets.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("band"), col("bucket_key")))).as("m"))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, ${nBands - 1}), i -> m[i])").as("ba"))
+    val exploded = arr
+      .select(col("doc_id"), col("ba"), posexplode(col("ba")).as(Seq("band", "bucket_key")))
+      .filter(col("bucket_key").isNotNull)
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    exploded.as("x").join(exploded.as("y"), Seq("band", "bucket_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
+      // codegen'd first-shared-slot loop, not the interpreted zip_with
+      // HOF chain (see Similarity.annCandidates — same rule, same reason)
+      .filter(expr("graft_first_shared(x.ba, y.ba) = band"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
   }
 
   /** Per-doc LSH band bucket keys: (doc_id, band, bucket_key) — the
@@ -254,12 +274,27 @@ object TextDedup {
       posexplode(array((0 until 4).map(i =>
         expr(s"(simhash >> ${8 * i}) & 255")): _*)).as(Seq("band", "chunk")))
     val capped = Valves.capGroups(bands, Seq("band", "chunk"), maxBucket)
-    capped.as("x").join(capped.as("y"), Seq("band", "chunk"))
+    val joined = capped.as("x").join(capped.as("y"), Seq("band", "chunk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
+    // pair dedup in-row instead of a distinct() over the pair multiset:
+    // every band chunk is derivable from the two simhash values already in
+    // the joined row, so (uncapped) a pair survives only at the FIRST band
+    // whose chunks agree — same emitted SET as the distinct() form the
+    // DuckDB oracle computes (round-6 change, guide §2.3). With a bucket
+    // cap, survival of a band is no longer row-derivable, so the valve
+    // path keeps the distinct() (cap semantics unchanged).
+    def project(df: DataFrame) = df
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         expr("cast(bit_count(x.simhash ^ y.simhash) as int)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+    maxBucket match {
+      case None => project(joined.filter((0 until 4).map(i =>
+          expr(s"((x.simhash >> ${8 * i}) & 255) = ((y.simhash >> ${8 * i}) & 255)"))
+        .zipWithIndex
+        .map { case (eq, i) => when(eq, lit(i)) }
+        .reduce(coalesce(_, _)) === col("band")))
+      case Some(_) => project(joined).distinct()
+    }
   }
 
   /** Near-duplicate GROUPS: connected components over the LSH candidate

@@ -124,20 +124,30 @@ object Canonicalize {
       conv(substring(md5(when(salt === 0, col("name"))
         .otherwise(concat(col("name"), lit("#"), salt))), 1, idHexChars), 16, 10)
         .cast("long")
+    // Eagerly materialize each round's table BEFORE the collision check:
+    // the previous shape ran the check (an isEmpty over an agg+join chain)
+    // on the LAZY frame and then let the caller recompute the whole
+    // synth+regex+aggregate chain again for its own action — two full
+    // computations per call on the happy path. Now the chain computes
+    // once, and the happy-path check is a single aggregate over the
+    // checkpointed rows with no join (round-6 change, guide §1.2: don't
+    // compute things twice). The repair rounds (astronomically rare at the
+    // default width) keep the min-name keep rule unchanged.
     var cur = mentionEvents(transcripts)
       .groupBy(col("name"))
       .agg(count(lit(1)).as("weight"))
       .withColumn("salt", lit(0))
       .withColumn("mention_id", hashed(col("salt")))
+      .localCheckpoint()
     var round = 0
     while (round <= maxRepairRounds) {
+      val clashIds = cur.groupBy(col("mention_id"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      if (clashIds.isEmpty)
+        return cur.select(col("name"), col("weight"), col("mention_id"))
       val sizes = cur.groupBy(col("mention_id"))
         .agg(min(col("name")).as("__keep"), count(lit(1)).as("__n"))
-      val joined = cur.join(sizes, "mention_id")
-      val clash = joined.filter(col("__n") > 1 && col("name") =!= col("__keep"))
-      if (clash.isEmpty)
-        return cur.select(col("name"), col("weight"), col("mention_id"))
-      cur = joined
+      cur = cur.join(sizes, "mention_id")
         .withColumn("salt",
           when(col("__n") > 1 && col("name") =!= col("__keep"), col("salt") + 1)
             .otherwise(col("salt")))

@@ -53,8 +53,14 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
 
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed labels with the FIRST min-label hop folded into initialization
+    // (label = min(id, min neighbor) in one aggregation over sym — every
+    // node appears as src after symmetrization): round-6 change saving one
+    // full propagation round; the fixpoint (min reachable id) is unchanged
+    // because any label value is still a reachable node id.
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nd"))
+      .select(col("id"), least(col("id"), col("nd")).as("label"))
       .localCheckpoint()
     var iter = 0
     var converged = false
@@ -63,20 +69,25 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
+      // carry the pre-round label ("old") through the round instead of
+      // re-joining `next` against `labels` afterwards: the convergence
+      // check becomes a scan of the just-checkpointed frame (one short
+      // isEmpty job) instead of an extra join+shuffle+count job per round
+      // (round-6 change; labels are monotonically non-increasing, so
+      // "changed" == "label < old" exactly as the removed join computed).
       val prop = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       val next = cut(prop
         .join(prop.select(col("id").as("label"), col("label").as("jump")),
           Seq("label"), "left")
-        .select(col("id"), coalesce(col("jump"), col("label")).as("label")),
+        .select(col("id"),
+          coalesce(col("jump"), col("label")).as("label"),
+          (coalesce(col("jump"), col("label")) < col("old")).as("changed")),
         iter)
-      val changed = next.as("n")
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") < col("old")).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     if (!converged)
@@ -91,10 +102,11 @@ object ConnectedComponents {
     * MessagePassing.java:138). */
   def assignments(mentions: DataFrame, candidates: DataFrame,
       durableDir: Option[String] = None): DataFrame = {
+    // no pre-distinct: run() symmetrizes and distincts anyway, so the
+    // extra exchange here was pure overhead (round-6 change, guide §2.4)
     val edges = candidates
       .select(least(col("dst_id"), col("org_id")).as("src"),
         greatest(col("dst_id"), col("org_id")).as("dst"))
-      .distinct()
     val comp = run(edges, durableDir = durableDir)
     val withComp = mentions
       .join(comp.withColumnRenamed("id", "mention_id"), Seq("mention_id"), "left")

@@ -121,7 +121,15 @@ object GreedyClustering {
         * localCheckpoint'ed so its wall time lands in its own phase
         * instead of the caller's final action; values are identical
         * either way. None (the default) changes nothing. */
-      phaseSink: Option[(String, Double) => Unit] = None): DataFrame = {
+      phaseSink: Option[(String, Double) => Unit] = None,
+      /** Precomputed (already materialized) ConnectedComponents.assignments
+        * over the SAME (mentions, candidates) — a pipeline that has run the
+        * CC stage for its own output (the Queries memoizer, any caller
+        * publishing both clusterings) injects it here so the iterative CC
+        * loop runs once per pipeline instead of once per consumer
+        * (round-6 change, guide §2.4: shared stage, identical values by
+        * construction). None recomputes internally, as before. */
+      ccDf: Option[DataFrame] = None): DataFrame = {
     val spark = mentions.sparkSession
     import spark.implicits._
 
@@ -145,10 +153,15 @@ object GreedyClustering {
     val m = mentions.localCheckpoint()
     val cand = candidates.localCheckpoint()
 
-    val cc = phase("cc")(
-      ConnectedComponents.assignments(m, cand, durableDir.map(_ + "/cc"))
+    val cc = phase("cc")(ccDf match {
+      case Some(pre) => pre
         .select($"mention_id", $"name", $"weight", $"component_id")
-        .localCheckpoint())
+        .localCheckpoint()
+      case None =>
+        ConnectedComponents.assignments(m, cand, durableDir.map(_ + "/cc"))
+          .select($"mention_id", $"name", $"weight", $"component_id")
+          .localCheckpoint()
+    })
 
     val mentionToks: Dataset[MentionRow] = phase("prep")(tokens
       .groupBy($"mention_id")

@@ -45,78 +45,54 @@ object SimGraph {
       .unionByName(sim).unionByName(nck).unionByName(abr)
   }
 
-  case class MentionElems(mention_id: Long, toks: Seq[String],
-      kinds: Seq[String], values: Seq[String], dfs: Seq[Long])
-  case class Pair(dst_id: Long, org_id: Long, common_cnt: Int,
-      dtoks: Seq[String], dkinds: Seq[String], dvalues: Seq[String], ddfs: Seq[Long],
-      otoks: Seq[String], okinds: Seq[String], ovalues: Seq[String], odfs: Seq[Long])
-
-  /** Per-mention element-key/df array (all levels for all its tokens).
-    *
-    * Scale shape: `stats` is df-bounded (|distinct tokens| + |codes| +
-    * |nick groups| + 26 — ~2k rows at sf0.1, millions at 100 TB, vs
-    * billions of pair rows), so it is BROADCAST and the key→df lookup is a
-    * map-side join; the only shuffles here are the two mention_id
-    * aggregations, which AQE co-partitions with the final join. */
-  private def mentionElemDfs(tokens: DataFrame, stats: DataFrame): DataFrame = {
-    val spark = tokens.sparkSession
-    import spark.implicits._
-    val h = Hierarchy.default
-    val mentionToks = tokens.groupBy($"mention_id")
-      .agg(sort_array(collect_list(struct($"pos", $"token"))).as("pt"))
-      .select($"mention_id", expr("transform(pt, x -> x.token)").as("toks"))
-    val keys = mentionToks.as[(Long, Seq[String])].flatMap { case (id, toks) =>
-      val all = toks.flatMap { t =>
-        val tk = h.tokenKey(t)
-        val l2 = h.lift(tk)
-        val l3 = l2.flatMap(h.lift)
-        (tk +: (l2 ++ l3))
-      }.distinct
-      all.map(k => (id, k.kind.toString, k.value))
-    }.toDF("mention_id", "kind", "value")
-    keys.join(broadcast(stats.select($"kind", $"value", $"df")), Seq("kind", "value"))
-      .groupBy($"mention_id")
-      .agg(collect_list($"kind").as("kinds"), collect_list($"value").as("values"),
-        collect_list($"df").as("dfs"))
-      .join(mentionToks, "mention_id")
-  }
-
   /** Candidate pairs re-scored with the bi-directional hierarchical
     * similarity: (dst_id, org_id, common_cnt, bi_sim).
     *
     * `stats`: pass a cached [[elementStats]] table to reuse across queries;
-    * default recomputes it from `tokens`. */
+    * default recomputes it from `tokens`.
+    *
+    * Scale shape (round-6 rewrite, guide §2.3/§2.4): `stats` is df-bounded
+    * (|distinct tokens| + |codes| + |nick groups| + 26 — ~2k rows at
+    * sf0.1, millions at 100 TB, vs billions of pair rows), so the WHOLE
+    * key→df table rides an executor broadcast into the per-pair fold —
+    * the same shape as the IVF centroid broadcast. The round-5 form
+    * instead materialized a per-mention element-key/df ARRAY (a typed
+    * flatMap + a broadcast-join + a second mention aggregation + a second
+    * mention join) and carried four parallel arrays per pair side through
+    * the candidate joins; all of that collapses into one global broadcast
+    * lookup, leaving exactly two shuffles here (the mention token-array
+    * aggregation and the candidate joins). Values are identical:
+    * BiDirectional.sim only ever looks up keys lifted from the pair's own
+    * tokens, and those keys' dfs are the same rows of `stats` the removed
+    * join attached (missing keys cannot happen when stats and corpus
+    * share one coder — the same invariant the array form relied on). */
   def rescoredPairs(tokens: DataFrame, candidates: DataFrame,
       stats: Option[DataFrame] = None): DataFrame = {
     val spark = tokens.sparkSession
     import spark.implicits._
-    val me = mentionElemDfs(tokens, stats.getOrElse(elementStats(tokens)))
-    val d = me.select($"mention_id".as("dst_id"), $"toks".as("dtoks"),
-      $"kinds".as("dkinds"), $"values".as("dvalues"), $"dfs".as("ddfs"))
-    val o = me.select($"mention_id".as("org_id"), $"toks".as("otoks"),
-      $"kinds".as("okinds"), $"values".as("ovalues"), $"dfs".as("odfs"))
+    val dfMap: Map[ElementKey, Long] =
+      stats.getOrElse(elementStats(tokens))
+        .select($"kind", $"value", $"level", $"df")
+        .collect()
+        .map(r => ElementKey(r.getInt(2), r.getString(0).charAt(0),
+          r.getString(1)) -> r.getLong(3))
+        .toMap
+    val bc = spark.sparkContext.broadcast(dfMap)
+    val mentionToks = tokens.groupBy($"mention_id")
+      .agg(sort_array(collect_list(struct($"pos", $"token"))).as("pt"))
+      .select($"mention_id", expr("transform(pt, x -> x.token)").as("toks"))
     candidates.select($"dst_id", $"org_id", $"common_cnt")
-      .join(d, "dst_id").join(o, "org_id")
-      .as[Pair]
+      .join(mentionToks.select($"mention_id".as("dst_id"), $"toks".as("dtoks")), "dst_id")
+      .join(mentionToks.select($"mention_id".as("org_id"), $"toks".as("otoks")), "org_id")
+      .select($"dst_id", $"org_id", $"common_cnt", $"dtoks", $"otoks")
+      .as[(Long, Long, Int, Seq[String], Seq[String])]
       .mapPartitions { it =>
-        // hoisted per-partition: the hierarchy (JVM-wide lazy val) and one
-        // scratch df map reused across rows — the per-row allocations here
-        // were the slowest headline stage in round 1
+        // hoisted per-partition: the hierarchy (JVM-wide lazy val) and the
+        // broadcast df map (read once per task, shared across rows)
         val h = Hierarchy.default
-        val df = collection.mutable.HashMap.empty[ElementKey, Long]
-        def add(ks: Seq[String], vs: Seq[String], ds: Seq[Long]): Unit = {
-          var i = 0
-          while (i < ks.length) {
-            val lvl = ks(i) match { case "T" => 1; case "A" => 3; case _ => 2 }
-            df(ElementKey(lvl, ks(i).charAt(0), vs(i))) = ds(i)
-            i += 1
-          }
-        }
-        it.map { p =>
-          df.clear()
-          add(p.dkinds, p.dvalues, p.ddfs); add(p.okinds, p.ovalues, p.odfs)
-          val s = BiDirectional.sim(h, p.otoks, p.dtoks, df)
-          (p.dst_id, p.org_id, p.common_cnt, s)
+        val df = bc.value
+        it.map { case (dstId, orgId, commonCnt, dtoks, otoks) =>
+          (dstId, orgId, commonCnt, BiDirectional.sim(h, otoks, dtoks, df))
         }
       }
       .toDF("dst_id", "org_id", "common_cnt", "bi_sim")

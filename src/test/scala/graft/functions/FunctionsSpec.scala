@@ -143,4 +143,33 @@ class FunctionsSpec extends SparkSpec {
         s"col $a collapsed to an integral value — float truncation")
     }
   }
+
+  test("graft_first_shared: first non-null equal slot, -1 when none, long and string") {
+    val s = SparkSpec.session
+    graft.functions.GraftFunctions.register(s)
+    // non-constant input so the projection runs through codegen
+    val r = s.range(1).selectExpr(
+      // null slots never match, even null-vs-null; match found at index 2
+      "graft_first_shared(array(cast(null as bigint), 7L, 5L, 9L), " +
+        "array(cast(null as bigint), 8L + id, 5L, 9L)) AS l1",
+      // no shared slot -> -1
+      "graft_first_shared(array(1L + id, 2L), array(3L, 4L)) AS l2",
+      // string variant: match at index 1
+      "graft_first_shared(array('a', 'b', 'c'), " +
+        "array(concat('z', cast(id as string)), 'b', 'c')) AS s1",
+      "graft_first_shared(array(cast(null as string)), array('x')) AS s2")
+      .collect()(0)
+    assert(r.getInt(0) === 2)
+    assert(r.getInt(1) === -1)
+    assert(r.getInt(2) === 1)
+    assert(r.getInt(3) === -1)
+    // parity with the interpreted HOF chain it replaced
+    val hof = s.range(1).selectExpr(
+      "array_position(zip_with(array(cast(null as bigint), 7L, 5L), " +
+        "array(6L + id, cast(null as bigint), 5L), " +
+        "(a, b) -> coalesce(a = b, false)), true) - 1 AS p",
+      "graft_first_shared(array(cast(null as bigint), 7L, 5L), " +
+        "array(6L + id, cast(null as bigint), 5L)) AS k").collect()(0)
+    assert(hof.getLong(0) === hof.getInt(1).toLong)
+  }
 }
