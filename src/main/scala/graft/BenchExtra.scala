@@ -249,6 +249,66 @@ object BenchExtra {
         println(f"total_headline=${mins.filter(p => headline.contains(p._1)).map(_._2).sum}%.3f " +
           f"total_ops=${mins.filter(p => opsHeadline.contains(p._1)).map(_._2).sum}%.3f")
 
+      case "stagesc" =>
+        // Bench.clusterStages replica (16x-replicated input, multi-JVM
+        // local-cluster, min-of-2 per stage, Spark-job counts for the
+        // iterative stages) — the driver-comparable evidence for the CC /
+        // greedy loop optimizations. args: <sfDir> <execs>
+        val sfDir = args(1); val execs = args(2).toInt
+        val prep = session(cpus)
+        val base = "/tmp/graft_extra/tokens"
+        writeTokens(prep, sfDir, base)
+        val scaled = replicate(prep, base, 16, 64)
+        val scaledMentions = base + "_m_x16"
+        if (!Files.exists(Paths.get(scaledMentions))) {
+          import org.apache.spark.sql.functions.col
+          prep.read.parquet(scaled)
+            .select(col("mention_id"), col("name"), col("weight")).distinct()
+            .write.mode("overwrite").parquet(scaledMentions)
+        }
+        prep.stop()
+        val spark = clusterSession(execs)
+        def countJobs(f: => Unit): (Int, Double) = {
+          val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+          val l = new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              counter.incrementAndGet()
+          }
+          spark.sparkContext.addSparkListener(l)
+          val sec =
+            try time(f)
+            finally {
+              Thread.sleep(200)
+              spark.sparkContext.removeSparkListener(l)
+            }
+          (counter.get(), sec)
+        }
+        val m = spark.read.parquet(scaledMentions)
+        val t = spark.read.parquet(scaled)
+        force(t); force(m)
+        val cand = pipeline.Blocking.candidates(t)
+        val tBlock = Seq.fill(2)(time(force(cand))).min
+        val candCk = cand.localCheckpoint()
+        val ccRuns = Seq.fill(2)(countJobs(
+          force(pipeline.ConnectedComponents.assignments(m, candCk))))
+        val (ccJobs, tCc) = ccRuns.minBy(_._2)
+        def greedyOnce(): (Int, Double, Map[String, Double]) = {
+          val phases = scala.collection.mutable.Map.empty[String, Double]
+          val (jobs, sec) = countJobs(
+            force(pipeline.GreedyClustering.assignments(m, t, candCk,
+              phaseSink = Some((n, s) => phases.synchronized {
+                phases(n) = phases.getOrElse(n, 0.0) + s
+              }))))
+          (jobs, sec, phases.toMap)
+        }
+        val gRuns = Seq.fill(2)(greedyOnce())
+        val (gJobs, tGreedy, gPhases) = gRuns.minBy(_._2)
+        println(f"stagesc execs=$execs block=$tBlock%.2f cc=$tCc%.2f (jobs=$ccJobs) " +
+          f"greedy=$tGreedy%.2f (jobs=$gJobs) phases=" +
+          gPhases.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(","))
+        spark.stop()
+
       case "annprof" =>
         // isolate the ANN/IVF top-k sub-stages (guide §1.4: noop sink)
         val sfDir = args(1)

@@ -559,33 +559,111 @@ object Similarity {
     ivfTopKFrom(embeddings, ivfProbesTrained(embeddings, nlist, nprobe, seed), k,
       queries)
 
+  /** The per-cell verify of the IVF index (round-6 shape, guide §2.3:
+    * aggregate before you shuffle). The round-5 form JOINED query probes
+    * with cell assignments into the full frac·n² candidate-pair row set,
+    * attached both embedding arrays to every pair row, and ranked through
+    * a window over all of them — materializing and re-shuffling rows that
+    * exist only to be thrown away (k of ~cell-size kept per probed cell).
+    * Now queries and members are cogrouped BY CELL (queries ship once per
+    * probe with their embedding; members once with theirs), each cell
+    * folds its per-query top-k in a bounded insertion loop — the same
+    * kernel as [[knnBrute]] — and only n x nprobe x k partial rows reach
+    * the final per-query merge window. The dot-product count is unchanged
+    * (that is the intrinsic IVF verify cost); what disappears is the
+    * candidate-pair row materialization and its window sort.
+    *
+    * Value identity with the join+window form: embeddings widen to double
+    * exactly (cast; = graft_dot_f/graft_norm_f element widening), cosine
+    * rounds via BigDecimal HALF_UP (= round(_, 6)), per-cell partial
+    * top-k keeps every global top-k candidate because each neighbor lives
+    * in exactly one cell, and the final window applies the identical
+    * (cosine desc, neighbor asc) order. Corrupt rows cannot reach this
+    * code: only probe-surviving ids (ivfProbesBroadcast drops NULL /
+    * ragged / zero-norm rows) appear on either side. Pinned by
+    * RewriteParitySpec against the join+window formulation. */
   private def ivfTopKFrom(embeddings: DataFrame, probes: DataFrame, k: Int,
       queries: Option[DataFrame] = None): DataFrame = {
-    // the probe projection feeds BOTH branches of the cell join (query
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // the probe projection feeds BOTH branches of the cell cogroup (query
     // probes and rank-1 assignments); materialize it once — n x nprobe
     // skinny rows — instead of running the centroid-scoring scan twice
-    // (round 6, guide §2.4: two consumers, one computation)
+    // (guide §2.4: two consumers, one computation)
     val p = probes.localCheckpoint()
     val assign = p.filter(col("probe_rank") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cell"))
-    val e = embeddings.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", norm("embedding"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
     val querySide = queries match {
       case Some(q) => p.join(
         broadcast(q.select(col("vec_id"))), Seq("vec_id"), "left_semi")
       case None => p
     }
-    // each neighbor has exactly one assigned cell -> the join emits each
-    // (vec_id, neighbor_id) at most once; no distinct needed
-    querySide.select(col("vec_id"), col("cell"))
-      .join(assign, "cell")
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .join(e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na")), "vec_id")
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
-        col("nrm").as("nb")), "neighbor_id")
-      .withColumn("cosine", round(dot("ea", "eb") / (col("na") * col("nb")), 6))
+    // exact widening: float elements cast to double are the same values
+    // the dot/norm kernels fold, so one double-typed path serves float
+    // and double (quantize-roundtrip) corpora identically
+    val eD = embeddings.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("emb"))
+    val qRows = querySide.select(col("vec_id"), col("cell"))
+      .join(eD, "vec_id")
+      .select(col("cell"), col("vec_id"), col("emb"))
+      .as[(Long, Long, Array[Double])]
+    val mRows = assign
+      .join(eD.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .select(col("cell"), col("neighbor_id"), col("emb"))
+      .as[(Long, Long, Array[Double])]
+    def nrm(v: Array[Double]): Double = {
+      var acc = 0d; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      math.sqrt(acc)
+    }
+    val partial = qRows.groupByKey(_._1).cogroup(mRows.groupByKey(_._1)) {
+      (_, qs, ms) =>
+        val mem = ms.toArray
+        if (mem.isEmpty) Iterator.empty
+        else {
+          val mN = mem.map(m => nrm(m._3))
+          qs.flatMap { case (_, vid, qe) =>
+            val qn = nrm(qe)
+            val dims = qe.length
+            val topCos = new Array[Double](k)
+            val topId = new Array[Long](k)
+            var m = 0
+            var c = 0
+            while (c < mem.length) {
+              val nid = mem(c)._2
+              if (nid != vid) {
+                val mv = mem(c)._3
+                var d = 0d; var j = 0
+                while (j < dims) { d += qe(j) * mv(j); j += 1 }
+                val rawCos = d / (qn * mN(c))
+                val cos = if (java.lang.Double.isFinite(rawCos))
+                  java.math.BigDecimal.valueOf(rawCos)
+                    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+                else rawCos
+                var pp = m
+                while (pp > 0 && (topCos(pp - 1) < cos ||
+                    (topCos(pp - 1) == cos && topId(pp - 1) > nid))) pp -= 1
+                if (pp < k) {
+                  var q2 = math.min(m, k - 1)
+                  while (q2 > pp) {
+                    topCos(q2) = topCos(q2 - 1); topId(q2) = topId(q2 - 1); q2 -= 1
+                  }
+                  topCos(pp) = cos; topId(pp) = nid
+                  if (m < k) m += 1
+                }
+              }
+              c += 1
+            }
+            Iterator.tabulate(m)(r2 => (vid, topId(r2), topCos(r2)))
+          }
+        }
+    }.toDF("vec_id", "neighbor_id", "cosine")
+    // final merge over the n x nprobe x k partials — identical rank
+    // expression and tie order as the round-5 window
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    partial
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))

@@ -74,6 +74,53 @@ class RewriteParitySpec extends SparkSpec {
     assert(neuD === refD)
   }
 
+  /** The round-5 ivfTopKFrom formulation: cell join over the full
+    * candidate-pair row set + embedding joins + window rank. */
+  private def ivfTopKJoinWindow(embeddings: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val p = probes.localCheckpoint()
+    val assign = p.filter(col("probe_rank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", expr("graft_norm_f(embedding)"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    p.select(col("vec_id"), col("cell"))
+      .join(assign, "cell")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .join(e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na")), "vec_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "neighbor_id")
+      .withColumn("cosine",
+        round(expr("graft_dot_f(ea, eb)") / (col("na") * col("nb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  test("ivfTopK per-cell cogroup fold == cell-join + window on sf0.001, ties, and double corpora") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val neu = Similarity.ivfTopK(emb, k = 5, nlist = 8)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val ref = ivfTopKJoinWindow(emb, Similarity.ivfProbes(emb, nlist = 8), 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(neu === ref)
+    // duplicate vectors -> exact cosine ties; double element type
+    val tie = Seq(
+      (1L, Array(1.0, 0.0, 0.0)), (2L, Array(1.0, 0.0, 0.0)),
+      (3L, Array(1.0, 0.0, 0.0)), (4L, Array(0.0, 1.0, 0.0)),
+      (5L, Array(0.0, 1.0, 0.0)), (6L, Array(0.6, 0.8, 0.0)),
+      (7L, Array(0.0, 0.0, 1.0)), (8L, Array(0.1, 0.1, 0.9)))
+      .toDF("vec_id", "embedding")
+    val neuT = Similarity.ivfTopK(tie, k = 3, nlist = 3, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val refT = ivfTopKJoinWindow(tie,
+      Similarity.ivfProbes(tie, nlist = 3, nprobe = 2), 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(neuT === refT)
+  }
+
   /** The round-5 lshPairs formulation: bucket self-join + distinct. */
   private def lshPairsDistinct(d: DataFrame, maxBucket: Option[Int]): Set[(Long, Long)] = {
     val all = TextDedup.bandBuckets(d)
