@@ -276,21 +276,30 @@ object Similarity {
       maxBucket: Option[Int] = defaultMaxBucket,
       candDf: Option[DataFrame] = None): DataFrame = {
     reg(embeddings)
-    // bucket collision is symmetric, so both directions of the shared
-    // unordered candidate stage = the unordered-join pair set
     val ordered = candDf.getOrElse(annCandidates(embeddings, tables, planes, maxBucket))
-    val candPairs = ordered
-      .select(col("a").as("vec_id"), col("b").as("neighbor_id"))
-      .union(ordered.select(col("b").as("vec_id"), col("a").as("neighbor_id")))
     val e = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm("embedding"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    candPairs
-      .join(e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na")), "vec_id")
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
-        col("nrm").as("nb")), "neighbor_id")
+    // score each UNORDERED candidate pair once, then mirror the scored row
+    // (round 6, guide §2.3): cosine is exactly symmetric — the dot
+    // kernel's per-element multiply commutes and the index-order sum is
+    // identical both ways — so the round-5 shape (union both directions
+    // FIRST, then attach embeddings and compute the dot per direction)
+    // ran every verify dot and both embedding joins twice for the same
+    // value. The mirrored row set equals the old union's exactly.
+    ordered
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "a")
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "b")
       .withColumn("cosine", round(dot("ea", "eb") / (col("na") * col("nb")), 6))
+      .select(explode(array(
+        struct(col("a").as("vec_id"), col("b").as("neighbor_id"), col("cosine")),
+        struct(col("b").as("vec_id"), col("a").as("neighbor_id"), col("cosine"))))
+        .as("p"))
+      .select(col("p.vec_id").as("vec_id"), col("p.neighbor_id").as("neighbor_id"),
+        col("p.cosine").as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))

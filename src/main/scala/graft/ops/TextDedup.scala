@@ -78,8 +78,6 @@ object TextDedup {
   def lshPairs(documents: DataFrame, nHashes: Int = 8, rowsPerBand: Int = 2,
                maxBucket: Option[Int] = None,
                sigsDf: Option[DataFrame] = None): DataFrame = {
-    val all = bandBuckets(documents, nHashes, rowsPerBand, sigsDf)
-    val buckets = Valves.capGroups(all, Seq("band", "bucket_key"), maxBucket)
     // pair dedup IN-ROW at the first surviving shared band (the same
     // positional-zip rule as Similarity.annCandidates / the blocking
     // kernels) instead of shuffling the emitted pair MULTISET through a
@@ -90,10 +88,30 @@ object TextDedup {
     // Verify run re-proves the equivalence (round-6 change, guide §2.3:
     // nothing downstream of the bucket join shuffles).
     val nBands = nHashes / rowsPerBand
-    val arr = buckets.groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("band"), col("bucket_key")))).as("m"))
-      .select(col("doc_id"),
-        expr(s"transform(sequence(0, ${nBands - 1}), i -> m[i])").as("ba"))
+    // uncapped (oracle-exact) path: fold the per-band bucket keys straight
+    // out of ONE per-doc aggregation over the long-form signatures — the
+    // bandBuckets groupBy(doc, band) + this groupBy(doc) was two shuffles
+    // for what one ordered collect_list derives in-row (round 6, §2.4).
+    // The capped path keeps the two-step shape: a capped-away band is not
+    // derivable in-row, so its slot is nulled via the map rebuild.
+    val arr = maxBucket match {
+      case None =>
+        sigsDf.getOrElse(minhashSignatures(documents, nHashes))
+          .groupBy(col("doc_id"))
+          .agg(array_sort(collect_list(struct(col("j"), col("minhash")))).as("sm"))
+          .select(col("doc_id"), expr(
+            s"""transform(sequence(0, ${nBands - 1}), b ->
+               |  array_join(transform(slice(sm, b * $rowsPerBand + 1, $rowsPerBand),
+               |                       x -> cast(x.minhash as string)), ','))"""
+              .stripMargin).as("ba"))
+      case Some(_) =>
+        Valves.capGroups(bandBuckets(documents, nHashes, rowsPerBand, sigsDf),
+            Seq("band", "bucket_key"), maxBucket)
+          .groupBy(col("doc_id"))
+          .agg(map_from_entries(collect_list(struct(col("band"), col("bucket_key")))).as("m"))
+          .select(col("doc_id"),
+            expr(s"transform(sequence(0, ${nBands - 1}), i -> m[i])").as("ba"))
+    }
     val exploded = arr
       .select(col("doc_id"), col("ba"), posexplode(col("ba")).as(Seq("band", "bucket_key")))
       .filter(col("bucket_key").isNotNull)

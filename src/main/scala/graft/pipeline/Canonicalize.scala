@@ -141,9 +141,12 @@ object Canonicalize {
       .localCheckpoint()
     var round = 0
     while (round <= maxRepairRounds) {
-      val clashIds = cur.groupBy(col("mention_id"))
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-      if (clashIds.isEmpty)
+      // single-job check: the max id-group size (isEmpty on the expected-
+      // empty clash set escalates through several limit-scan jobs)
+      val maxGroup = cur.groupBy(col("mention_id"))
+        .agg(count(lit(1)).as("__n"))
+        .agg(coalesce(max(col("__n")), lit(0L))).collect()(0).getLong(0)
+      if (maxGroup <= 1L)
         return cur.select(col("name"), col("weight"), col("mention_id"))
       val sizes = cur.groupBy(col("mention_id"))
         .agg(min(col("name")).as("__keep"), count(lit(1)).as("__n"))

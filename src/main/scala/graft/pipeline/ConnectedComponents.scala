@@ -86,7 +86,13 @@ object ConnectedComponents {
           coalesce(col("jump"), col("label")).as("label"),
           (coalesce(col("jump"), col("label")) < col("old")).as("changed")),
         iter)
-      converged = next.filter(col("changed")).isEmpty
+      // single-job convergence check: max(changed) over the checkpointed
+      // rows — isEmpty/limit(1) on an EMPTY result escalates through
+      // log(partitions) scan batches, one Spark job each, so the converged
+      // round paid ~4 jobs for one boolean (round 6, measured via the
+      // Bench job counter)
+      converged = !next.agg(coalesce(max(col("changed")), lit(false)))
+        .collect()(0).getBoolean(0)
       labels = next.select(col("id"), col("label"))
       iter += 1
     }

@@ -209,8 +209,11 @@ object GreedyClustering {
       else smallAssignsLazy
 
     // ---- distributed giant-component path (skipped entirely when no
-    // component exceeds the cap — the common case at moderate scale)
-    val bigAssigns: Dataset[AssignRow] = if (bigComps.isEmpty)
+    // component exceeds the cap — the common case at moderate scale).
+    // count()==0, not isEmpty: one job on the checkpointed frame either
+    // way, where isEmpty on the (usually empty) set escalates through
+    // several limit-scan jobs (round 6)
+    val bigAssigns: Dataset[AssignRow] = if (bigComps.count() == 0L)
       spark.emptyDataset[AssignRow]
     else {
     val (bigMentions, bigEdges, coreOutDf) = phase("core") {
