@@ -186,13 +186,21 @@ object GreedyClustering {
     val bigComps = phase("prep")(cc.groupBy($"component_id").count()
       .filter($"count" > maxComponentSize)
       .select($"component_id").localCheckpoint())
+    // one job on the checkpointed frame (isEmpty on an empty result
+    // escalates through several limit-scan jobs); resolved HERE so the
+    // common no-giant case also skips the two anti-join stages below
+    // (round 6 — with zero oversized components the anti-joins are
+    // identity filters)
+    val noBig = bigComps.count() == 0L
 
     val hier = hierarchy
 
     // ---- exact reference path for normally-sized components
-    val smallMentions = mentionToks.join(bigComps, Seq("component_id"), "left_anti")
+    val smallMentions = (if (noBig) mentionToks
+      else mentionToks.join(bigComps, Seq("component_id"), "left_anti"))
       .as[MentionRow]
-    val smallEdges = edges.join(bigComps, Seq("component_id"), "left_anti")
+    val smallEdges = (if (noBig) edges
+      else edges.join(bigComps, Seq("component_id"), "left_anti"))
       .as[EdgeRow]
     val smallAssignsLazy: Dataset[AssignRow] = smallMentions
       .groupByKey(_.component_id)
@@ -209,11 +217,8 @@ object GreedyClustering {
       else smallAssignsLazy
 
     // ---- distributed giant-component path (skipped entirely when no
-    // component exceeds the cap — the common case at moderate scale).
-    // count()==0, not isEmpty: one job on the checkpointed frame either
-    // way, where isEmpty on the (usually empty) set escalates through
-    // several limit-scan jobs (round 6)
-    val bigAssigns: Dataset[AssignRow] = if (bigComps.count() == 0L)
+    // component exceeds the cap — the common case at moderate scale)
+    val bigAssigns: Dataset[AssignRow] = if (noBig)
       spark.emptyDataset[AssignRow]
     else {
     val (bigMentions, bigEdges, coreOutDf) = phase("core") {
