@@ -48,9 +48,19 @@ object ConnectedComponents {
         spark.read.parquet(path)
       case _ => df.localCheckpoint()
     }
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // dedup at HALF volume, then mirror (round 6, guide §2.3): normalize
+    // each edge to (min, max) and distinct THAT, then union the reversed
+    // copy — the previous shape unioned both directions first and ran the
+    // distinct over twice the rows. The mirrored union needs no second
+    // dedup: normalized rows have src <= dst, reversed ones dst <= src, so
+    // overlap is confined to self-loops — whose duplicate rows are
+    // harmless under the min() aggregations this loop consists of.
+    val und = edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
       .distinct()
+    val sym = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
 
     // seed labels with the FIRST min-label hop folded into initialization

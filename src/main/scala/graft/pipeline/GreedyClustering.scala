@@ -150,8 +150,18 @@ object GreedyClustering {
       case None => df.localCheckpoint()
     }
 
-    val m = mentions.localCheckpoint()
-    val cand = candidates.localCheckpoint()
+    // pin the inputs for the multi-pass consumption below — but skip the
+    // copy when the caller already hands a MATERIALIZED frame (a bare
+    // localCheckpoint / checkpoint scan analyzes to a LogicalRDD): the
+    // Queries memoizer and Bench's clusterStages both pass checkpointed
+    // candidates, and re-checkpointing copied the full pair table again
+    // (round 6, guide §1.2: don't compute things twice)
+    def pinInput(df: DataFrame): DataFrame = df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => df.localCheckpoint()
+    }
+    val m = pinInput(mentions)
+    val cand = pinInput(candidates)
 
     val cc = phase("cc")(ccDf match {
       case Some(pre) => pre
