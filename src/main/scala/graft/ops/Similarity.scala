@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over the `embeddings` table
   * (vec_id, embedding float[], label).
@@ -269,6 +268,50 @@ object Similarity {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
   }
 
+  /** Spark SQL's double total order (SQLOrderingUtil.compareDoubles):
+    * -0.0 == 0.0, NaN greater than everything and equal to itself — the
+    * fold comparators must match it exactly or a NaN/signed-zero tie would
+    * rank differently than the row_number() window they replace. */
+  @inline private def cmpD(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  /** Rank (vec_id, neighbor_id, cosine) rows to their per-vec top-k with a
+    * bounded insertion fold instead of a row_number() window (round 6,
+    * guide §2.4): the window shuffled every scored row AND sorted each
+    * whole partition to rank rows it then threw away (k of ~candidates
+    * kept); the fold ships the same skinny rows but keeps only k per group
+    * in O(rows x k) with no sort buffer. Identical output: same (cosine
+    * desc, neighbor_id asc) order via Spark's own double total order
+    * ([[cmpD]]), same row_number semantics (ranks 1..k, ties broken by
+    * neighbor asc). Shared by [[annTopK]] and [[ivfTopKFrom]]'s final
+    * merge; pinned against the window formulation in RewriteParitySpec. */
+  private def topKRanked(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("vec_id"), col("neighbor_id"), col("cosine"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (vid, it) =>
+        val topCos = new Array[Double](k)
+        val topId = new Array[Long](k)
+        var m = 0
+        while (it.hasNext) {
+          val (_, nid, cos) = it.next()
+          var p = m
+          while (p > 0 && { val c = cmpD(topCos(p - 1), cos)
+            c < 0 || (c == 0 && topId(p - 1) > nid) }) p -= 1
+          if (p < k) {
+            var q = math.min(m, k - 1)
+            while (q > p) { topCos(q) = topCos(q - 1); topId(q) = topId(q - 1); q -= 1 }
+            topCos(p) = cos; topId(p) = nid
+            if (m < k) m += 1
+          }
+        }
+        Iterator.tabulate(m)(r => (vid, topId(r), topCos(r), r + 1))
+      }
+      .toDF("vec_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** ANN top-k via multi-table LSH buckets: candidate pairs share a bucket
     * in ANY table; quadratic work confined to buckets (bounded ~16 expected
     * by the auto plane count + the default hot-bucket cap). */
@@ -279,16 +322,16 @@ object Similarity {
     val ordered = candDf.getOrElse(annCandidates(embeddings, tables, planes, maxBucket))
     val e = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm("embedding"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
     // score each UNORDERED candidate pair once, then mirror the scored row
     // (round 6, guide §2.3): cosine is exactly symmetric — the dot
     // kernel's per-element multiply commutes and the index-order sum is
     // identical both ways — so the round-5 shape (union both directions
     // FIRST, then attach embeddings and compute the dot per direction)
     // ran every verify dot and both embedding joins twice for the same
-    // value. The mirrored row set equals the old union's exactly.
-    ordered
+    // value. The mirrored row set equals the old union's exactly. The
+    // mirrored rows then fold straight into their per-vec top-k
+    // ([[topKRanked]]) instead of sorting through a rank window.
+    topKRanked(ordered
       .join(e.select(col("vec_id").as("a"), col("embedding").as("ea"),
         col("nrm").as("na")), "a")
       .join(e.select(col("vec_id").as("b"), col("embedding").as("eb"),
@@ -299,10 +342,7 @@ object Similarity {
         struct(col("b").as("vec_id"), col("a").as("neighbor_id"), col("cosine"))))
         .as("p"))
       .select(col("p.vec_id").as("vec_id"), col("p.neighbor_id").as("neighbor_id"),
-        col("p.cosine").as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        col("p.cosine").as("cosine")), k)
   }
 
   /** Embedding-cosine near-duplicate pairs: (a, b, cosine) with a < b and
@@ -669,8 +709,12 @@ object Similarity {
         }
     }.toDF("vec_id", "neighbor_id", "cosine")
     // final merge over the n x nprobe x k partials — identical rank
-    // expression and tie order as the round-5 window
-    val w = Window.partitionBy(col("vec_id"))
+    // expression and tie order as the round-5 window. (Measured: swapping
+    // this window for the topKRanked fold showed no win — the partials are
+    // already only n x nprobe x k rows, the stage sat inside the host's
+    // jitter band either way (1.8-2.4s at sf0.1), so the simpler window
+    // form stays.)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     partial
       .withColumn("rank", row_number().over(w))

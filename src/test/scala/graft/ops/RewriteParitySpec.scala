@@ -121,6 +121,58 @@ class RewriteParitySpec extends SparkSpec {
     assert(neuT === refT)
   }
 
+  /** The pre-fold annTopK ranking: score each unordered candidate pair
+    * once, mirror, then rank through a row_number() window — the
+    * formulation the bounded top-k insertion fold replaced. */
+  private def annTopKWindow(embeddings: DataFrame, k: Int,
+      cand: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", expr("graft_norm_f(embedding)"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "a")
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "b")
+      .withColumn("cosine",
+        round(expr("graft_dot_f(ea, eb)") / (col("na") * col("nb")), 6))
+      .select(explode(array(
+        struct(col("a").as("vec_id"), col("b").as("neighbor_id"), col("cosine")),
+        struct(col("b").as("vec_id"), col("a").as("neighbor_id"), col("cosine"))))
+        .as("p"))
+      .select(col("p.vec_id").as("vec_id"), col("p.neighbor_id").as("neighbor_id"),
+        col("p.cosine").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  test("annTopK bounded fold == mirrored window on the sf0.001 corpus and on ties") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cand = Similarity.annCandidates(emb).localCheckpoint()
+    val neu = Similarity.annTopK(emb, candDf = Some(cand))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val ref = annTopKWindow(emb, 5, cand)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(neu === ref)
+    // duplicated vectors force exact cosine ties at every rank — the
+    // neighbor_id ASC tiebreak must match row_number()'s
+    val tie = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f)), (4L, Array(0.0f, 1.0f, 0.0f)),
+      (5L, Array(0.0f, 1.0f, 0.0f)), (6L, Array(0.6f, 0.8f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val candT = Similarity.annCandidates(tie, tables = 4, planes = 2)
+      .localCheckpoint()
+    val neuT = Similarity.annTopK(tie, k = 3, candDf = Some(candT))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val refT = annTopKWindow(tie, 3, candT)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(neuT === refT)
+  }
+
   /** The round-5 lshPairs formulation: bucket self-join + distinct. */
   private def lshPairsDistinct(d: DataFrame, maxBucket: Option[Int]): Set[(Long, Long)] = {
     val all = TextDedup.bandBuckets(d)
